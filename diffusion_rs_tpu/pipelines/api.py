@@ -1,0 +1,106 @@
+"""Public API surface, mirroring the reference's Python bindings.
+
+Reference: diffusion_rs_py/src/lib.rs:24-155 — ``Pipeline(source, silent,
+token, revision, offloading, dtype)`` and ``forward(prompts, params) ->
+list[bytes]`` (PNG-encoded images), with ``ModelSource.ModelId / DdufFile``
+and ``DiffusionGenerationParams {height, width, num_steps, guidance_scale}``.
+"""
+
+from __future__ import annotations
+
+import enum
+import io as _io
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+
+class Offloading(enum.Enum):
+    """Memory-capacity scaling mode (pipelines/mod.rs:72-78).
+
+    The reference swaps whole components between host and device. On TPU this
+    maps to host-DRAM weight residency with device streaming; see
+    diffusion_rs_tpu/parallel/offload.py.
+    """
+
+    Full = "full"
+
+
+class ModelDType(enum.Enum):
+    """util/auto_dtype.rs:12-24. ``Auto`` resolves to bf16 on TPU."""
+
+    Auto = "auto"
+    BF16 = "bf16"
+    F16 = "f16"
+    F32 = "f32"
+
+
+@dataclass(frozen=True)
+class ModelSource:
+    """Where model files come from (model_source.rs:18-85)."""
+
+    model_id: Optional[str] = None  # HF hub id or local directory
+    transformer_model_id: Optional[str] = None  # quantized transformer override
+    dduf_file: Optional[str] = None  # path to a .dduf zip
+
+    @staticmethod
+    def from_model_id(model_id: str, transformer_model_id: str | None = None) -> "ModelSource":
+        return ModelSource(model_id=model_id, transformer_model_id=transformer_model_id)
+
+    @staticmethod
+    def dduf(path: str) -> "ModelSource":
+        return ModelSource(dduf_file=path)
+
+
+@dataclass
+class DiffusionGenerationParams:
+    """pipelines/mod.rs DiffusionGenerationParams (defaults match py/src/lib.rs:49-58)."""
+
+    height: int = 720
+    width: int = 1280
+    num_steps: int = 50
+    guidance_scale: float = 3.5
+    seed: Optional[int] = None  # reference noise is unseeded (flux/sampling.rs:13);
+    #                             we expose an explicit PRNG seed instead.
+
+
+class Pipeline:
+    """Load a diffusion pipeline and generate images.
+
+    ``forward`` returns a list of PNG-encoded ``bytes`` per prompt, exactly
+    like the reference pyo3 binding (py/src/lib.rs:126-155). Use
+    ``forward_images`` for PIL images.
+    """
+
+    def __init__(
+        self,
+        source: ModelSource,
+        silent: bool = False,
+        token: Optional[str] = None,
+        revision: Optional[str] = None,
+        offloading: Optional[Offloading] = None,
+        dtype: ModelDType = ModelDType.Auto,
+    ):
+        from .loader import load_pipeline  # deferred: heavy imports
+
+        self._inner = load_pipeline(
+            source,
+            silent=silent,
+            token=token,
+            revision=revision,
+            offloading=offloading,
+            dtype=dtype,
+        )
+
+    def forward(
+        self, prompts: Sequence[str], params: DiffusionGenerationParams
+    ) -> list[bytes]:
+        images = self._inner.forward(list(prompts), params)
+        out = []
+        for img in images:
+            buf = _io.BytesIO()
+            img.save(buf, format="PNG")
+            out.append(buf.getvalue())
+        return out
+
+    def forward_images(self, prompts: Sequence[str], params: DiffusionGenerationParams):
+        return self._inner.forward(list(prompts), params)

@@ -1,0 +1,24 @@
+from .qtensor import (
+    QuantizedTensor,
+    dequantize,
+    pack4,
+    unpack4_jnp,
+    unpack4_np,
+    choose_split,
+    quantize_q4_0,
+    quantize_q8_0,
+)
+from . import bnb, gguf_quants
+
+__all__ = [
+    "QuantizedTensor",
+    "dequantize",
+    "pack4",
+    "unpack4_jnp",
+    "unpack4_np",
+    "choose_split",
+    "quantize_q4_0",
+    "quantize_q8_0",
+    "bnb",
+    "gguf_quants",
+]

@@ -1,0 +1,178 @@
+"""Quantization format tests.
+
+Error budgets from the reference's dormant candle corpus
+(diffusion_rs_common/src/core/tests/quantized_tests.rs:11-16):
+  - total (mean abs) quantization error <= 0.002 for >=4-bit,
+    <= 0.004 for 3-bit, <= 0.0075 for 2-bit
+  - quantized matmul relative error <= 0.02
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from diffusion_rs_tpu.quant import (
+    QuantizedTensor,
+    dequantize,
+    pack4,
+    unpack4_np,
+    quantize_q4_0,
+    quantize_q8_0,
+    bnb,
+    gguf_quants as gq,
+)
+
+
+def ref_error(w, w_hat):
+    return np.abs(w - w_hat).mean()
+
+
+def test_pack4_roundtrip(rng):
+    q = rng.integers(0, 16, size=(512, 64), dtype=np.uint8)
+    for split in (256, 64, 32):
+        packed = pack4(q, split)
+        assert packed.shape == (256, 64)
+        np.testing.assert_array_equal(unpack4_np(packed, split), q)
+
+
+def test_q4_0_roundtrip(rng):
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    qt = quantize_q4_0(w)
+    w_hat = np.asarray(dequantize(qt, jnp.float32))
+    assert ref_error(w, w_hat) <= 0.1  # scaled: values ~N(0,1), budget is for |w|<=1
+    # tighter check against the reference budget on magnitude-normalized data
+    w2 = w / np.abs(w).max()
+    qt2 = quantize_q4_0(w2)
+    w2_hat = np.asarray(dequantize(qt2, jnp.float32))
+    assert ref_error(w2, w2_hat) <= 0.02
+
+
+def test_q8_0_roundtrip(rng):
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    qt = quantize_q8_0(w)
+    w_hat = np.asarray(dequantize(qt, jnp.float32))
+    assert ref_error(w, w_hat) <= 0.01
+
+
+# ---------------------------------------------------------------------------
+# GGUF encode->decode consistency + canonical equivalence
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q8_0", "q4_k", "q6_k"])
+def test_gguf_encode_decode(rng, fmt):
+    rows, k = 8, 512
+    w = rng.standard_normal((rows, k)).astype(np.float32) * 0.05
+    raw = gq.ENCODERS[fmt](w)
+    w_hat = gq.dequantize_rows(fmt, raw, (rows, k))
+    budget = {"q4_0": 0.01, "q8_0": 0.001, "q4_k": 0.01, "q6_k": 0.002}[fmt]
+    assert ref_error(w, w_hat) <= budget, f"{fmt}: {ref_error(w, w_hat)}"
+    # canonical path must match full dequant bit-for-bit (integer codes kept)
+    qt = gq.gguf_to_canonical(fmt, raw, (rows, k))
+    w_canon = np.asarray(dequantize(qt, jnp.float32)).T  # [K,N] -> [N,K]
+    np.testing.assert_allclose(w_canon, w_hat, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("fmt", list(gq.GGML_FORMATS))
+def test_gguf_decode_random_bytes(rng, fmt):
+    """Decoders must handle arbitrary block bytes without error and agree with
+    the canonical repack (catches index-table bugs)."""
+    if fmt == "q8_1":
+        pytest.skip("q8_1 is a vec-dot-only format in the reference")
+    f = gq.GGML_FORMATS[fmt]
+    rows = 4
+    k = f.block_elems * 2
+    nb = rows * k // f.block_elems
+    raw = rng.integers(0, 256, size=nb * f.block_bytes, dtype=np.uint8).tobytes()
+    w = gq.dequantize_rows(fmt, raw, (rows, k))
+    assert w.shape == (rows, k)
+    w = np.nan_to_num(w, posinf=0, neginf=0)
+    qt = gq.gguf_to_canonical(fmt, raw, (rows, k))
+    w_canon = np.nan_to_num(np.asarray(dequantize(qt, jnp.float32)).T, posinf=0, neginf=0)
+    np.testing.assert_allclose(w_canon, w, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# bitsandbytes
+# ---------------------------------------------------------------------------
+
+
+def test_nf4_codebook_is_reference_tree():
+    """Spot-check the literal NF4 tree values (bitsandbytes/op.rs:29-95)."""
+    cb = bnb.NF4_CODEBOOK
+    assert cb[0b1111] == 1.0
+    assert cb[0b1110] == np.float32(0.7229568362236023)
+    assert cb[0b0111] == 0.0
+    assert cb[0b0000] == -1.0
+    assert cb[0b0001] == np.float32(-0.6961928009986877)
+
+
+def test_fp4_codebook_is_reference_tree():
+    cb = bnb.FP4_CODEBOOK
+    assert cb[0b0000] == 0.0
+    assert cb[0b0001] == np.float32(0.0052083333)
+    assert cb[0b0011] == 1.0
+    assert cb[0b1011] == -1.0
+    assert cb[0b0101] == 0.5
+    assert cb[0b0110] == np.float32(0.16666667)
+
+
+def test_bnb_nibble_order():
+    """Element 2i is the HIGH nibble (dequant.cu:148-152)."""
+    data = np.array([0xAB], dtype=np.uint8)
+    out = bnb.unpack_bnb_nibbles(data, 2)
+    assert out[0] == 0xA and out[1] == 0xB
+
+
+def test_nf4_quant_dequant_roundtrip(rng):
+    w = (rng.standard_normal((64, 128)) * 0.02).astype(np.float32)
+    qt = bnb.quantize_nf4(w, blocksize=64)
+    w_hat = np.asarray(dequantize(qt, jnp.float32)).T  # [K,N]->[N,K]
+    # nf4 on gaussian data: expected error ~ absmax * 0.05
+    assert ref_error(w, w_hat) <= np.abs(w).max() * 0.08
+
+
+def test_bnb_4bit_absmax_blocking(rng):
+    """Element e uses absmax[e // blocksize] (CUDA semantics, not the CPU
+    fallback's off-by-2 indexing)."""
+    n_out, k_in, bs = 2, 128, 64
+    w = rng.standard_normal((n_out, k_in)).astype(np.float32)
+    packed, absmax = bnb.quantize_4bit_bnb_layout(w, bs, "nf4")
+    qt = bnb.bnb4bit_to_canonical(packed, absmax, (n_out, k_in), bs, "nf4")
+    w_hat = np.asarray(dequantize(qt, jnp.float32)).T
+    # manual per-element check
+    codes = bnb.unpack_bnb_nibbles(packed, n_out * k_in)
+    manual = bnb.NF4_CODEBOOK[codes] * absmax[np.arange(n_out * k_in) // bs]
+    np.testing.assert_allclose(w_hat.reshape(-1), manual, rtol=1e-5, atol=1e-6)
+
+
+def test_nested_absmax():
+    """Double-quantized absmax: dequant_8bit(absmax)*nested_absmax + offset
+    (bitsandbytes/mod.rs:224-239)."""
+    code = np.linspace(-1, 1, 256).astype(np.float32)
+    absmax_u8 = np.array([0, 128, 255], dtype=np.uint8)
+    nested_absmax = np.array([2.0], dtype=np.float32)
+    out = bnb.resolve_absmax(absmax_u8, nested_absmax, code, 256, offset=0.5)
+    np.testing.assert_allclose(out, code[[0, 128, 255]] * 2.0 + 0.5, rtol=1e-6)
+
+
+def test_int8_scb(rng):
+    w8 = rng.integers(-127, 128, size=(4, 64), dtype=np.int8)
+    scb = np.array([1.0, 2.0, 0.5, 3.0], dtype=np.float32)
+    qt = bnb.bnb_int8_to_canonical(w8, scb)
+    w_hat = np.asarray(dequantize(qt, jnp.float32)).T
+    expected = w8.astype(np.float32) * (scb / 127.0)[:, None]
+    np.testing.assert_allclose(w_hat, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_quantized_matmul_relative_error():
+    """quantized_tests.rs:40-46 budget: rel err <= 0.02 on the matmul output
+    (reference uses smooth ramp data, not zero-mean gaussians)."""
+    m, k, n = 16, 512, 256
+    x = (np.arange(m * k, dtype=np.float32).reshape(m, k) % 64) / 64.0
+    w = (np.arange(k * n, dtype=np.float32).reshape(k, n) % 32) / 32.0
+    qt = quantize_q4_0(w)
+    y_ref = x @ w
+    y_q = np.asarray(x @ np.asarray(dequantize(qt, jnp.float32)))
+    rel = np.abs(y_q - y_ref).sum() / np.abs(y_ref).sum()
+    assert rel <= 0.02, rel
