@@ -1,0 +1,159 @@
+"""Blockwise flash attention for TPU (Pallas).
+
+Replaces the reference's fused Metal SDPA kernels
+(diffusion_rs_common/src/metal_kernels/mod.rs:1757-2057 call_sdpa_*) and its
+naive f32 matmul-softmax-matmul fallback (diffusion_rs_backend/src/ops.rs:247-262)
+with a single online-softmax kernel shaped for the MXU:
+
+* QK^T and P·V run in the input dtype (bf16) on the MXU with
+  ``preferred_element_type=f32``;
+* the softmax running max/denominator and the output accumulator are f32
+  VMEM scratch — the same f32-reduction contract as the reference's
+  "attention is always f32" rule (models/flux/model.rs:40-50), paid only
+  where it matters;
+* grid = (batch, heads, q_tiles, kv_tiles) with the kv axis innermost and
+  marked "arbitrary" so Mosaic pipelines the q/k/v block DMAs.
+
+FLUX joint attention is full-bidirectional (no mask), so the kernel only
+needs a kv-length mask for ragged sequence lengths (e.g. 720x1280 -> 3600
+image + 512 text tokens). Padded q rows are sliced off by the wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    *, scale: float, kv_len: int, block_k: int
+):
+    kv_i = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, 0]  # [bq, d]
+    k = k_ref[0, 0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk] f32
+
+    # Mask ragged kv tail (static shapes; only the last tile pays the select).
+    if kv_len % block_k != 0:
+        col = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scratch[...]  # [bq, 128] lane-replicated
+    l_prev = l_scratch[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+    m_next = jnp.maximum(m_prev, m_cur)  # broadcast -> [bq, 128]
+    alpha = jnp.exp(m_prev - m_next)  # [bq, 128]
+    p = jnp.exp(s - m_next[:, :1])  # [bq, bk]
+    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    v = v_ref[0, 0]  # [bk, d]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_i == n_kv - 1)
+    def _finalize():
+        l = l_scratch[...][:, :1]
+        # Padded q rows can have l == 0; keep them finite (sliced off later).
+        o_ref[0, 0] = (acc_scratch[...] * pl.reciprocal(
+            jnp.where(l == 0.0, 1.0, l), approx=False
+        )).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_call(q, k, v, scale, block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_k)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+
+    grid = (b, h, sq_p // block_q, skv_p // block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * skv_p * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + b * h * sq_p * d * q.dtype.itemsize,
+            transcendentals=b * h * sq_p * skv_p,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if sq_p != sq:
+        out = out[:, :, :sq, :]
+    return out
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q, k, v: [B, H, S, D] -> [B, H, Sq, D]. D must be a lane multiple."""
+    d = q.shape[-1]
+    if d % 128 != 0:
+        raise NotImplementedError(f"flash_attention requires head_dim % 128 == 0, got {d}")
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    block_q = min(block_q, _round_up(q.shape[2], 128))
+    block_k = min(block_k, _round_up(k.shape[2], 128))
+    return _flash_call(q, k, v, float(scale), block_q, block_k, interpret)

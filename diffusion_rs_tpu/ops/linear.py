@@ -1,0 +1,94 @@
+"""Linear layer over dense or quantized weights.
+
+The TPU equivalent of the reference's ``QuantMethod`` trait
+(diffusion_rs_backend/src/lib.rs:152-189): one call site
+(:func:`linear`) serves UnquantLinear, BnbLinear and GgufMatMul alike.
+Instead of a trait object, the weight *pytree leaf type* selects the path:
+
+* ``jax.Array``  -> dense matmul (cuBLASLt equivalent: plain XLA dot, which
+  fuses the bias add into the matmul epilogue on TPU);
+* ``QuantizedTensor`` -> fused Pallas dequant-matmul (weights stay packed in
+  HBM), or an XLA dequantize+dot fallback on CPU / unsupported tilings.
+
+``forward_autocast`` semantics (lib.rs:161-169: cast activation to the
+quantized act type and back) collapse here: activations stay bf16, the MXU
+accumulates in f32, and dequantization happens in f32 inside the kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.qtensor import QuantizedTensor, dequantize
+from .qmatmul_pallas import quantized_matmul, supports
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("w", "b"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class Linear:
+    """Weight ``[K, N]`` (K-major — input features first) + optional bias."""
+
+    w: Union[jax.Array, QuantizedTensor]
+    b: Optional[jax.Array] = None
+
+    @property
+    def in_features(self) -> int:
+        return self.w.shape[-2] if isinstance(self.w, jax.Array) else self.w.k
+
+    @property
+    def out_features(self) -> int:
+        return self.w.shape[-1] if isinstance(self.w, jax.Array) else self.w.n
+
+
+@functools.lru_cache(None)
+def _use_pallas_qmm() -> bool:
+    if os.environ.get("DIFFUSION_RS_TPU_NO_QMM"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
+    """``y = x @ w + b`` with automatic quantized dispatch. x: [..., K]."""
+    w = lin.w
+    if isinstance(w, QuantizedTensor):
+        if _use_pallas_qmm() and supports(w):
+            y = quantized_matmul(x, w)
+        else:
+            wd = dequantize(w, x.dtype)
+            y = jnp.matmul(x, wd, preferred_element_type=jnp.float32).astype(
+                x.dtype
+            )
+    else:
+        y = jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if lin.b is not None:
+        y = y + lin.b
+    return y
+
+
+def make_linear(
+    w, b=None, transpose: bool = False, dtype=jnp.bfloat16
+) -> Linear:
+    """Build a Linear from a host array. ``transpose=True`` accepts torch's
+    ``[out, in]`` layout and stores K-major."""
+    import numpy as np
+
+    if isinstance(w, QuantizedTensor):
+        return Linear(w=w, b=None if b is None else jnp.asarray(b, dtype))
+    w = np.asarray(w)
+    if transpose:
+        w = np.ascontiguousarray(w.T)
+    return Linear(
+        w=jnp.asarray(w, dtype),
+        b=None if b is None else jnp.asarray(b, dtype),
+    )

@@ -1,0 +1,256 @@
+"""Fused dequantize-matmul Pallas kernel.
+
+The reference dequantizes the ENTIRE weight and then runs a dense matmul on
+every forward (diffusion_rs_backend/src/bitsandbytes/mod.rs:285-312 — weights
+are never cached dequantized), i.e. it pays full-precision HBM traffic per
+call. This kernel keeps weights quantized in HBM and dequantizes K×N tiles in
+VMEM right before they hit the MXU — the BASELINE north-star design
+("fused Pallas dequant-matmuls so weights stay quantized in HBM").
+
+Layout contract (see quant/qtensor.py): weights are canonical K-major
+``[K, N]``; 4-bit carriers are nibble-packed split-block style so a K-tile
+equal to the split unpacks with two shifts and ONE sublane concat (no
+interleave); scale/bias are dense ``[K/group, N]`` f32 planes; nf4/fp4 carry
+a 16-entry codebook, decoded in-kernel by a 4-level select tree (the same
+values as the reference's literal trees, bitsandbytes/op.rs:29-128).
+
+Grid: (m_tiles, n_tiles, k_tiles), k innermost ("arbitrary") with an f32 VMEM
+accumulator; x·w runs in x.dtype (bf16) on the MXU with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.qtensor import QuantizedTensor, dequantize
+
+
+def _codebook_select(q: jnp.ndarray, cb) -> jnp.ndarray:
+    """Decode 4-bit codes via a binary select tree (15 VPU selects).
+
+    ``cb`` is a length-16 f32 SMEM ref (scalar reads); gathers lower poorly
+    on TPU so we select on the code bits instead.
+    """
+    q = q.astype(jnp.int32)  # native (8,128) tiling for the masks
+    b0 = (q & 1) != 0
+    b1 = (q & 2) != 0
+    b2 = (q & 4) != 0
+    b3 = (q & 8) != 0
+    vals = [cb[i] for i in range(16)]
+    lvl0 = [jnp.where(b0, vals[2 * i + 1], vals[2 * i]) for i in range(8)]
+    lvl1 = [jnp.where(b1, lvl0[2 * i + 1], lvl0[2 * i]) for i in range(4)]
+    lvl2 = [jnp.where(b2, lvl1[2 * i + 1], lvl1[2 * i]) for i in range(2)]
+    return jnp.where(b3, lvl2[1], lvl2[0])
+
+
+def _dequant_tile(packed, scale, bias, codebook, *, bits, group, bk, bn, out_dtype):
+    """Dequantize one [bk, bn] weight tile in VMEM (f32 math, cast at end).
+
+    ``scale``/``bias`` are the rows of the dense [K/group, bn] planes covering
+    this k-tile (shape [max(1, bk//group), bn]).
+    """
+    if bits == 4:
+        # Widen to i32 before bit ops — Mosaic has no i8 shift lowering.
+        p = packed.astype(jnp.int32)
+        lo = p & 0xF
+        hi = (p >> 4) & 0xF
+        q = jnp.concatenate([lo, hi], axis=0)  # [bk, bn] split-block order
+    else:
+        q = packed.astype(jnp.int32)
+    if codebook is not None:
+        w = _codebook_select(q, codebook)
+    else:
+        w = q.astype(jnp.float32)
+    # Broadcast per-group scale/bias along K: [bk, bn] -> [groups, g, bn]
+    # (split of the sublane dim; lane dim untouched).
+    if group < bk:
+        groups = bk // group
+        w = w.reshape(groups, group, bn) * scale[:, None, :]
+        if bias is not None:
+            w = w + bias[:, None, :]
+        w = w.reshape(bk, bn)
+    else:
+        w = w * scale
+        if bias is not None:
+            w = w + bias
+    return w.astype(out_dtype)
+
+
+def _qmm_kernel(
+    x_ref, packed_ref, scale_ref, bias_ref, cb_ref, o_ref, acc_ref,
+    *, bits, group, bk, bn, has_bias, has_cb
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    codebook = cb_ref if has_cb else None
+    # scale/bias arrive pre-tiled as [k_tiles, rows_per_tile, bn] blocks.
+    w = _dequant_tile(
+        packed_ref[...],
+        scale_ref[0],
+        bias_ref[0] if has_bias else None,
+        codebook,
+        bits=bits,
+        group=group,
+        bk=bk,
+        bn=bn,
+        out_dtype=x_ref.dtype,
+    )
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _tile_scale_plane(plane, k_tiles: int, group: int, bk: int, n: int):
+    """[K/group, N] -> [k_tiles, rows_per_tile, N] so each k-tile's rows form
+    one clean Pallas block (Mosaic can't prove alignment of a dynamic sublane
+    slice, so we pre-tile instead)."""
+    if group < bk:
+        return plane.reshape(k_tiles, bk // group, n)
+    ratio = group // bk
+    return jnp.repeat(plane, ratio, axis=0)[:k_tiles].reshape(k_tiles, 1, n)
+
+
+def _scale_block_spec(rows: int, bn: int):
+    return pl.BlockSpec((1, rows, bn), lambda mi, ni, ki: (ki, 0, ni))
+
+
+def supports(qt: QuantizedTensor, n_pad_ok: bool = True) -> bool:
+    """Static check that the canonical tensor fits this kernel's tiling."""
+    k, n = qt.shape
+    if qt.bits == 4 and qt.split % 2 != 0:
+        return False
+    bk = qt.split if qt.bits == 4 else min(256, k)
+    if k % bk != 0 or bk % 8 != 0:
+        return False
+    if qt.group <= bk:
+        if bk % qt.group != 0:
+            return False
+    elif qt.group % bk != 0:
+        return False
+    if n % 128 != 0:
+        return False
+    return True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group", "split", "kn", "out_dtype", "interpret", "bm_cap"),
+)
+def _qmm_call(x, packed, scale, bias, codebook, *, bits, group, split, kn,
+              out_dtype, interpret, bm_cap):
+    k, n = kn
+    m = x.shape[0]
+    bk = split if bits == 4 else min(256, k)
+    bn = min(512, n)
+    while n % bn != 0:
+        bn //= 2
+    bm = min(bm_cap, _round_up(m, 16))
+    m_p = _round_up(m, bm)
+    if m_p != m:
+        x = jnp.pad(x, ((0, m_p - m), (0, 0)))
+
+    grid = (m_p // bm, n // bn, k // bk)
+    has_bias = bias is not None
+    has_cb = codebook is not None
+
+    k_tiles = k // bk
+    rows = max(1, bk // group)
+    scale_t = _tile_scale_plane(scale, k_tiles, group, bk, n)
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda mi, ni, ki: (mi, ki)),
+        pl.BlockSpec(
+            ((bk // 2) if bits == 4 else bk, bn), lambda mi, ni, ki: (ki, ni)
+        ),
+        _scale_block_spec(rows, bn),
+    ]
+    args = [x, packed, scale_t]
+    if has_bias:
+        in_specs.append(_scale_block_spec(rows, bn))
+        args.append(_tile_scale_plane(bias, k_tiles, group, bk, n))
+    if has_cb:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(codebook)
+
+    def kernel(x_ref, packed_ref, scale_ref, *rest):
+        idx = 0
+        bias_ref = rest[idx] if has_bias else None
+        idx += int(has_bias)
+        cb_ref = rest[idx] if has_cb else None
+        idx += int(has_cb)
+        o_ref = rest[idx]
+        acc_ref = rest[idx + 1]
+        _qmm_kernel(
+            x_ref, packed_ref, scale_ref, bias_ref, cb_ref, o_ref, acc_ref,
+            bits=bits, group=group, bk=bk, bn=bn,
+            has_bias=has_bias, has_cb=has_cb,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * k * n,
+            bytes_accessed=packed.size * packed.dtype.itemsize
+            + x.size * x.dtype.itemsize + m_p * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if m_p != m:
+        out = out[:m]
+    return out
+
+
+def quantized_matmul(
+    x: jnp.ndarray,
+    qt: QuantizedTensor,
+    out_dtype=None,
+    interpret: bool = False,
+    bm_cap: int = 256,
+) -> jnp.ndarray:
+    """``x [..., K] @ deq(qt) [K, N] -> [..., N]`` with weights staying packed
+    in HBM. Falls back to XLA dequant+matmul for shapes the kernel tiling
+    doesn't cover (small N, ragged K)."""
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    k, n = qt.shape
+    x2 = x.reshape(-1, k)
+    if not supports(qt):
+        w = dequantize(qt, x.dtype)
+        return jnp.matmul(x2, w, preferred_element_type=jnp.float32).astype(
+            out_dtype
+        ).reshape(*lead, n)
+    # SMEM wants f32 codebook as a (16,) array; scale/bias already dense f32.
+    out = _qmm_call(
+        x2, qt.packed, qt.scale,
+        qt.bias, qt.codebook,
+        bits=qt.bits, group=qt.group, split=qt.split, kn=(k, n),
+        out_dtype=jnp.dtype(out_dtype), interpret=interpret, bm_cap=bm_cap,
+    )
+    return out.reshape(*lead, n)

@@ -1,0 +1,252 @@
+"""Ops tests: norms, rope, attention, linear dispatch, Pallas kernels
+(interpret mode on CPU; the same kernels are validated on real TPU by
+bench.py runs).
+
+Tolerances follow the reference test corpus: SDPA summed relative error
+<= 5e-4 for f32 (nn/tests/sdpa.rs:32-37); quantized matmul relative error
+<= 0.02 (core/tests/quantized_tests.rs:40-46).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusion_rs_tpu import ops
+from diffusion_rs_tpu.ops.flash_pallas import flash_attention
+from diffusion_rs_tpu.ops.qmatmul_pallas import quantized_matmul
+from diffusion_rs_tpu.quant import bnb, gguf_quants as gq
+from diffusion_rs_tpu.quant.qtensor import (
+    dequantize,
+    quantize_q4_0,
+    quantize_q8_0,
+)
+
+
+def summed_rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return np.abs(a - b).sum() / (np.abs(b).sum() + 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+
+def test_layer_norm_matches_numpy(rng):
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    w = rng.standard_normal(64).astype(np.float32)
+    b = rng.standard_normal(64).astype(np.float32)
+    got = np.asarray(ops.layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), eps=1e-6))
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    want = (x - mu) / np.sqrt(var + 1e-6) * w + b
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_layer_norm_no_affine(rng):
+    """FLUX blocks use parameter-free LayerNorm (model.rs:33-38)."""
+    x = rng.standard_normal((2, 8, 32)).astype(np.float32)
+    got = np.asarray(ops.layer_norm(jnp.asarray(x)))
+    assert abs(got.mean(-1)).max() < 1e-5
+    np.testing.assert_allclose(got.std(-1), 1.0, atol=1e-3)
+
+
+def test_rms_norm_f32_accum(rng):
+    """T5LayerNorm semantics: f32 variance accum, cast back, then weight
+    (models/t5/mod.rs:94-120)."""
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    w = rng.standard_normal(64).astype(np.float32)
+    got = np.asarray(ops.rms_norm(jnp.asarray(x), jnp.asarray(w), eps=1e-6))
+    want = x / np.sqrt((x**2).mean(-1, keepdims=True) + 1e-6) * w
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_nhwc(rng):
+    x = rng.standard_normal((2, 4, 4, 32)).astype(np.float32)
+    w = np.ones(32, np.float32)
+    b = np.zeros(32, np.float32)
+    got = np.asarray(ops.group_norm(jnp.asarray(x), 8, jnp.asarray(w), jnp.asarray(b)))
+    # groups over channels: stats over (H, W, C/G)
+    xg = x.reshape(2, 16, 8, 4)
+    mu = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    want = ((xg - mu) / np.sqrt(var + 1e-6)).reshape(2, 4, 4, 32)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# rope
+# ---------------------------------------------------------------------------
+
+
+def test_rope_rotation_identity(rng):
+    """Rotating by position 0 is the identity."""
+    ids = jnp.zeros((1, 4, 3))
+    cos, sin = ops.rope_tables(ids, [16, 56, 56])
+    assert cos.shape == (1, 4, 64)
+    x = jnp.asarray(rng.standard_normal((1, 2, 4, 128)), jnp.float32)
+    out = ops.apply_rope(x, cos, sin)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_rope_preserves_norm(rng):
+    ids = jnp.asarray(rng.integers(0, 50, size=(1, 8, 3)).astype(np.float32))
+    cos, sin = ops.rope_tables(ids, [16, 56, 56])
+    x = jnp.asarray(rng.standard_normal((1, 2, 8, 128)), jnp.float32)
+    out = ops.apply_rope(x, cos, sin)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_rope_reference_rotation_math(rng):
+    """Pairwise rotation: out_2i = cos*x_2i - sin*x_2i+1 (model.rs:86-95)."""
+    ids = jnp.asarray(np.array([[[3.0]]], np.float32))  # 1 axis, dim 4
+    cos, sin = ops.rope_tables(ids, [4], theta=10000)
+    x = jnp.asarray(rng.standard_normal((1, 1, 1, 4)), jnp.float32)
+    out = np.asarray(ops.apply_rope(x, cos, sin))[0, 0, 0]
+    xn = np.asarray(x)[0, 0, 0]
+    for i, freq in enumerate([3.0, 3.0 / 10000 ** (2 / 4)]):
+        c, s = np.cos(freq), np.sin(freq)
+        np.testing.assert_allclose(out[2 * i], c * xn[2 * i] - s * xn[2 * i + 1], rtol=1e-5)
+        np.testing.assert_allclose(out[2 * i + 1], s * xn[2 * i] + c * xn[2 * i + 1], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+
+def test_flash_attention_matches_xla(rng):
+    q = jnp.asarray(rng.standard_normal((1, 2, 300, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 300, 128)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 300, 128)), jnp.float32)
+    o1 = flash_attention(q, k, v, interpret=True)
+    o2 = ops.sdpa_xla(q, k, v)
+    assert summed_rel(o1, o2) <= 5e-4
+
+
+def test_flash_attention_ragged_kv(rng):
+    """kv length not a multiple of the block must be masked, not padded-in."""
+    q = jnp.asarray(rng.standard_normal((1, 1, 130, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1, 130, 128)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1, 130, 128)), jnp.float32)
+    o1 = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    o2 = ops.sdpa_xla(q, k, v)
+    assert summed_rel(o1, o2) <= 5e-4
+
+
+def test_sdpa_bias(rng):
+    """Additive bias path (T5 relative position / CLIP causal mask)."""
+    q = jnp.asarray(rng.standard_normal((2, 2, 16, 64)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((1, 2, 16, 16)), jnp.float32)
+    out = ops.sdpa(q, q, q, bias=bias, impl="xla")
+    s = np.einsum("bhsd,bhtd->bhst", np.asarray(q), np.asarray(q)) / 8.0
+    s = s + np.asarray(bias)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhst,bhtd->bhsd", p, np.asarray(q))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# quantized matmul kernel (interpret mode)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda w: quantize_q4_0(w),
+        lambda w: quantize_q8_0(w),
+        lambda w: bnb.quantize_nf4(np.ascontiguousarray(w.T), blocksize=64),
+    ],
+    ids=["q4_0", "q8_0", "nf4"],
+)
+def test_qmm_kernel_matches_dequant(rng, make):
+    w = (rng.standard_normal((512, 256)) * 0.05).astype(np.float32)
+    qt = make(w)
+    x = jnp.asarray(rng.standard_normal((33, 512)), jnp.float32)
+    y1 = quantized_matmul(x, qt, interpret=True)
+    y2 = jnp.matmul(x, dequantize(qt, jnp.float32))
+    assert summed_rel(y1, y2) <= 1e-5  # same math, same order -> near-exact
+
+
+def test_qmm_int8_whole_column_scale(rng):
+    w8 = rng.integers(-127, 128, size=(256, 512), dtype=np.int8)
+    scb = rng.standard_normal(256).astype(np.float32)
+    qt = bnb.bnb_int8_to_canonical(w8, scb)
+    x = jnp.asarray(rng.standard_normal((8, 512)), jnp.float32)
+    y1 = quantized_matmul(x, qt, interpret=True)
+    y2 = jnp.matmul(x, dequantize(qt, jnp.float32))
+    assert summed_rel(y1, y2) <= 1e-5
+
+
+def test_qmm_kquant_group16(rng):
+    """Q6K: 16-wide groups exercise the scale-plane tiling."""
+    w = (rng.standard_normal((8, 512)) * 0.05).astype(np.float32)
+    raw = gq.ENCODERS["q6_k"](w)
+    qt = gq.gguf_to_canonical("q6_k", raw, (8, 512))
+    # N=8 < 128 -> kernel refuses; falls back to XLA path, still correct.
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    y1 = quantized_matmul(x, qt, interpret=True)
+    y2 = jnp.matmul(x, dequantize(qt, jnp.float32))
+    assert summed_rel(y1, y2) <= 1e-5
+
+
+def test_qmm_accuracy_budget(rng):
+    """End-to-end quantize->fused-matmul error budget (reference: <= 0.02)."""
+    m, k, n = 16, 512, 256
+    x = (np.arange(m * k, dtype=np.float32).reshape(m, k) % 64) / 64.0
+    w = (np.arange(k * n, dtype=np.float32).reshape(k, n) % 32) / 32.0
+    qt = quantize_q4_0(w)
+    y_ref = x @ w
+    y_q = np.asarray(quantized_matmul(jnp.asarray(x), qt, interpret=True))
+    assert summed_rel(y_q, y_ref) <= 0.02
+
+
+# ---------------------------------------------------------------------------
+# linear dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_linear_dense_and_bias(rng):
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    b = rng.standard_normal(32).astype(np.float32)
+    lin = ops.make_linear(w, b, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ops.linear(x, lin)), np.asarray(x) @ w + b, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_linear_transpose_torch_layout(rng):
+    w_torch = rng.standard_normal((32, 64)).astype(np.float32)  # [out, in]
+    lin = ops.make_linear(w_torch, transpose=True, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ops.linear(x, lin)), np.asarray(x) @ w_torch.T, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_linear_quantized_weight(rng):
+    w = (rng.standard_normal((512, 256)) * 0.05).astype(np.float32)
+    qt = quantize_q8_0(w)
+    lin = ops.Linear(w=qt, b=None)
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    y = ops.linear(x, lin)  # CPU -> XLA dequant path
+    y2 = np.asarray(x) @ np.asarray(dequantize(qt, jnp.float32))
+    assert summed_rel(y, y2) <= 1e-4
+
+
+def test_linear_is_pytree(rng):
+    lin = ops.make_linear(rng.standard_normal((8, 4)).astype(np.float32))
+    leaves = jax.tree_util.tree_leaves(lin)
+    assert len(leaves) == 1
+    lin2 = ops.Linear(w=quantize_q8_0(rng.standard_normal((64, 4)).astype(np.float32)), b=jnp.zeros(4))
+    leaves2 = jax.tree_util.tree_leaves(lin2)
+    assert len(leaves2) >= 3  # packed, scale, bias
