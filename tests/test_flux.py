@@ -1,0 +1,209 @@
+"""FLUX MMDiT model tests (tiny config, CPU).
+
+Mirrors the structural semantics of models/flux/model.rs: double->single
+stream, txt-leading joint sequence, AdaLN chunk orders, guidance embedding
+gating, and the packed-latent plumbing of pipelines/flux/sampling.rs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusion_rs_tpu.models.flux import (
+    FluxConfig,
+    compute_pe,
+    flux_forward,
+    init_flux_params,
+    timestep_embedding,
+)
+from diffusion_rs_tpu.pipelines.sampling import (
+    denoise_scan,
+    get_noise,
+    latent_hw,
+    make_img_ids,
+    make_txt_ids,
+    pack_latents,
+    unpack_latents,
+)
+from diffusion_rs_tpu.pipelines.scheduler import SchedulerConfig, calculate_shift
+
+TINY = FluxConfig(
+    in_channels=16,
+    pooled_projection_dim=32,
+    joint_attention_dim=24,
+    num_attention_heads=2,
+    num_layers=2,
+    num_single_layers=2,
+    guidance_embeds=True,
+    hidden_size=32,
+    axes_dim=(4, 6, 6),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    key = jax.random.PRNGKey(0)
+    params = init_flux_params(key, TINY, dtype=jnp.float32)
+    b, s_img, s_txt = 2, 8, 4
+    ks = jax.random.split(key, 6)
+    img = jax.random.normal(ks[0], (b, s_img, TINY.in_channels), jnp.float32)
+    txt = jax.random.normal(ks[1], (b, s_txt, TINY.joint_attention_dim), jnp.float32)
+    y = jax.random.normal(ks[2], (b, TINY.pooled_projection_dim), jnp.float32)
+    t = jnp.full((b,), 0.7, jnp.float32)
+    g = jnp.full((b,), 3.5, jnp.float32)
+    img_ids = make_img_ids(b, 2, 4)
+    txt_ids = make_txt_ids(b, s_txt)
+    return params, img, txt, t, y, g, txt_ids, img_ids
+
+
+def test_forward_shape(tiny_setup):
+    params, img, txt, t, y, g, txt_ids, img_ids = tiny_setup
+    out = flux_forward(params, TINY, img, txt, t, y, g, txt_ids, img_ids)
+    assert out.shape == img.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scan_matches_unrolled(tiny_setup):
+    """lax.scan over stacked blocks == the reference's per-block loop."""
+    params, img, txt, t, y, g, txt_ids, img_ids = tiny_setup
+    o1 = flux_forward(params, TINY, img, txt, t, y, g, txt_ids, img_ids, use_scan=True)
+    o2 = flux_forward(params, TINY, img, txt, t, y, g, txt_ids, img_ids, use_scan=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+
+
+def test_guidance_changes_output(tiny_setup):
+    params, img, txt, t, y, g, txt_ids, img_ids = tiny_setup
+    o1 = flux_forward(params, TINY, img, txt, t, y, g, txt_ids, img_ids)
+    o2 = flux_forward(params, TINY, img, txt, t, y, g * 0.0, txt_ids, img_ids)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-6
+
+
+def test_schnell_config_has_no_guidance(tiny_setup):
+    """guidance_embeds=False models ignore guidance (model.rs:835-837)."""
+    cfg = FluxConfig(**{**TINY.__dict__, "guidance_embeds": False})
+    params = init_flux_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    _, img, txt, t, y, g, txt_ids, img_ids = tiny_setup
+    o1 = flux_forward(params, cfg, img, txt, t, y, None, txt_ids, img_ids)
+    assert o1.shape == img.shape
+
+
+def test_precomputed_pe_matches_inline(tiny_setup):
+    params, img, txt, t, y, g, txt_ids, img_ids = tiny_setup
+    pe = compute_pe(TINY, txt_ids, img_ids)
+    o1 = flux_forward(params, TINY, img, txt, t, y, g, pe=pe)
+    o2 = flux_forward(params, TINY, img, txt, t, y, g, txt_ids, img_ids)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+
+
+def test_timestep_embedding_reference_math():
+    """model.rs:105-122: t*1000, freqs exp(-ln(1e4)*i/half), [cos|sin]."""
+    t = jnp.asarray([0.5])
+    emb = np.asarray(timestep_embedding(t, 8, jnp.float32))[0]
+    half = 4
+    freqs = np.exp(-np.log(10000.0) * np.arange(half) / half)
+    args = 500.0 * freqs
+    np.testing.assert_allclose(
+        emb, np.concatenate([np.cos(args), np.sin(args)]), rtol=1e-4, atol=2e-5
+    )
+
+
+def test_jit_forward(tiny_setup):
+    params, img, txt, t, y, g, txt_ids, img_ids = tiny_setup
+    f = jax.jit(lambda p, i: flux_forward(p, TINY, i, txt, t, y, g, txt_ids, img_ids))
+    out = f(params, img)
+    ref = flux_forward(params, TINY, img, txt, t, y, g, txt_ids, img_ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# latent plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_roundtrip(rng):
+    img = jnp.asarray(rng.standard_normal((2, 16, 10, 12)), jnp.float32)
+    packed = pack_latents(img)
+    assert packed.shape == (2, 30, 64)
+    # 80x96 px image -> latent 10x12
+    out = unpack_latents(packed, 80, 96)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_latent_hw_rounding():
+    """(px+15)/16*2 (flux/sampling.rs:11-12): 720x1280 -> 90x160."""
+    assert latent_hw(720, 1280) == (90, 160)
+    assert latent_hw(1024, 1024) == (128, 128)
+    assert latent_hw(256, 256) == (32, 32)
+
+
+def test_img_ids_layout():
+    ids = np.asarray(make_img_ids(1, 2, 3))[0]
+    # (0, row, col) per patch, row-major
+    np.testing.assert_array_equal(ids[:, 0], 0)
+    np.testing.assert_array_equal(ids[:, 1], [0, 0, 0, 1, 1, 1])
+    np.testing.assert_array_equal(ids[:, 2], [0, 1, 2, 0, 1, 2])
+
+
+def test_noise_shape():
+    n = get_noise(jax.random.PRNGKey(0), 2, 720, 1280)
+    assert n.shape == (2, 16, 90, 160)
+
+
+# ---------------------------------------------------------------------------
+# scheduler + denoise loop
+# ---------------------------------------------------------------------------
+
+
+def test_sigmas_static_shift():
+    cfg = SchedulerConfig(shift=3.0, use_dynamic_shifting=False)
+    s = cfg.timesteps(4)
+    assert s[0] == 1.0 and s[-1] == 0.0
+    raw = np.linspace(1, 0, 5)
+    np.testing.assert_allclose(s, 3 * raw / (1 + 2 * raw), rtol=1e-6)
+
+
+def test_sigmas_dynamic_shift():
+    cfg = SchedulerConfig(use_dynamic_shifting=True)
+    mu = 0.8
+    s = cfg.timesteps(4, mu=mu)
+    raw = np.linspace(1, 0, 5)
+    e = np.exp(mu)
+    want = np.where(raw > 0, e / (e + (1 / np.where(raw > 0, raw, 1) - 1)), 0.0)
+    np.testing.assert_allclose(s, want, rtol=1e-6)
+
+
+def test_calculate_shift_reference_line():
+    # linear interpolation hitting base/max exactly
+    assert abs(calculate_shift(256) - 0.5) < 1e-9
+    assert abs(calculate_shift(4096) - 1.15) < 1e-9
+
+
+def test_denoise_scan_euler_semantics():
+    """img += pred*(t_prev - t_curr) per window (pipelines/sampling.rs:42-43)."""
+    sigmas = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)
+    img = jnp.ones((1, 2, 4), jnp.float32)
+
+    calls = []
+
+    def step(x, t):
+        return -x  # pred = -img: d/dt exact exponential toward 0
+
+    out = denoise_scan(step, img, sigmas)
+    # step1: img + (-img)*(0.5-1.0) = 1.5*img ; step2: 1.5img + (-1.5img)*(-0.5) = 2.25img
+    np.testing.assert_allclose(np.asarray(out), 2.25 * np.ones((1, 2, 4)), rtol=1e-6)
+
+
+def test_denoise_scan_full_model(tiny_setup):
+    """End-to-end tiny denoise: jit(scan(model)) runs and is finite."""
+    params, img, txt, t, y, g, txt_ids, img_ids = tiny_setup
+    pe = compute_pe(TINY, txt_ids, img_ids)
+    sigmas = jnp.asarray(SchedulerConfig().timesteps(3))
+
+    def step(x, tc):
+        tvec = jnp.full((x.shape[0],), tc, jnp.float32)
+        return flux_forward(params, TINY, x.astype(jnp.float32), txt, tvec, y, g, pe=pe)
+
+    out = jax.jit(lambda i: denoise_scan(step, i, sigmas))(img)
+    assert out.shape == img.shape
+    assert np.isfinite(np.asarray(out)).all()
