@@ -1,0 +1,242 @@
+"""AutoencoderKL (FLUX VAE), TPU-native.
+
+Behavioral reference: diffusion_rs_core/src/models/vaes/{vae.rs,
+autoencoder_kl.rs} — encoder/decoder resnet towers (GroupNorm+SiLU+3x3
+convs), optional mid attention block (1x1-conv QKV attention over spatial
+tokens), asymmetric-padded stride-2 downsample, nearest-2x upsample,
+DiagonalGaussian posterior, optional quant/post-quant 1x1 convs. Scaling
+(scale/shift factors) is applied by the CALLER (vaes/mod.rs:15-28).
+
+TPU design: everything runs channels-last (NHWC) — the native TPU conv
+layout — with BCHW conversion at the pipeline boundary only. The mid
+attention reuses the generic SDPA over flattened spatial tokens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import group_norm, sdpa
+from ..ops.conv import Conv, conv2d, upsample_nearest_2x
+from ..ops.linear import Linear, linear
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """vaes/autoencoder_kl.rs:16-32 (diffusers AutoencoderKL config.json)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    block_out_channels: tuple = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 16
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.3611
+    shift_factor: float = 0.1159
+    mid_block_add_attention: bool = True
+    use_quant_conv: bool = False
+    use_post_quant_conv: bool = False
+
+    @staticmethod
+    def from_json(d: dict) -> "VAEConfig":
+        return VAEConfig(
+            in_channels=d["in_channels"],
+            out_channels=d["out_channels"],
+            block_out_channels=tuple(d["block_out_channels"]),
+            layers_per_block=d["layers_per_block"],
+            latent_channels=d["latent_channels"],
+            norm_num_groups=d["norm_num_groups"],
+            scaling_factor=d.get("scaling_factor", 0.18215),
+            shift_factor=d.get("shift_factor", 0.0) or 0.0,
+            mid_block_add_attention=d.get("mid_block_add_attention", True),
+            use_quant_conv=d.get("use_quant_conv", True),
+            use_post_quant_conv=d.get("use_post_quant_conv", True),
+        )
+
+
+_PAD1 = ((1, 1), (1, 1))
+
+
+def _resnet(p: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """norm1-silu-conv1-norm2-silu-conv2 + (1x1 shortcut) (vae.rs:157-174)."""
+    h = group_norm(x, groups, p["norm1"]["w"], p["norm1"]["b"])
+    h = conv2d(jax.nn.silu(h), p["conv1"], padding=_PAD1)
+    h = group_norm(h, groups, p["norm2"]["w"], p["norm2"]["b"])
+    h = conv2d(jax.nn.silu(h), p["conv2"], padding=_PAD1)
+    if p.get("shortcut") is not None:
+        x = conv2d(x, p["shortcut"])
+    return x + h
+
+
+def _attn_block(p: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Spatial self-attention over HW tokens (vae.rs:96-111). The reference
+    stores 1x1 convs; over NHWC tokens those are plain linears."""
+    b, h, w, c = x.shape
+    y = group_norm(x, groups, p["norm"]["w"], p["norm"]["b"])
+    tokens = y.reshape(b, h * w, c)
+    q = linear(tokens, p["q"])[:, None]  # [b, 1(head), hw, c]
+    k = linear(tokens, p["k"])[:, None]
+    v = linear(tokens, p["v"])[:, None]
+    attn = sdpa(q, k, v, impl="xla")[:, 0]
+    out = linear(attn, p["out"]).reshape(b, h, w, c)
+    return x + out
+
+
+def _mid(p: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    x = _resnet(p["res1"], x, groups)
+    if p.get("attn") is not None:
+        x = _attn_block(p["attn"], x, groups)
+    return _resnet(p["res2"], x, groups)
+
+
+def vae_decode(params: Params, cfg: VAEConfig, z_nhwc: jnp.ndarray) -> jnp.ndarray:
+    """Decoder (vae.rs:437-455): conv_in -> mid -> up tower -> norm/silu/conv.
+    Input latent NHWC [B, h, w, latent_channels]; output NHWC image in
+    [-1, 1]-ish range. Scale/shift factors are applied by the caller."""
+    p = params["decoder"]
+    if params.get("post_quant_conv") is not None:
+        z_nhwc = conv2d(z_nhwc, params["post_quant_conv"])
+    g = cfg.norm_num_groups
+    h = conv2d(z_nhwc, p["conv_in"], padding=_PAD1)
+    h = _mid(p["mid"], h, g)
+    for up in p["up"]:
+        for res in up["resnets"]:
+            h = _resnet(res, h, g)
+        if up.get("upsample") is not None:
+            h = conv2d(upsample_nearest_2x(h), up["upsample"], padding=_PAD1)
+    h = group_norm(h, g, p["norm_out"]["w"], p["norm_out"]["b"])
+    return conv2d(jax.nn.silu(h), p["conv_out"], padding=_PAD1)
+
+
+def vae_encode(
+    params: Params,
+    cfg: VAEConfig,
+    x_nhwc: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Encoder (vae.rs:330-354) + DiagonalGaussian (vae.rs:466-480): returns
+    a latent sample when ``key`` is given, else the distribution mode."""
+    p = params["encoder"]
+    g = cfg.norm_num_groups
+    h = conv2d(x_nhwc, p["conv_in"], padding=_PAD1)
+    for down in p["down"]:
+        for res in down["resnets"]:
+            h = _resnet(res, h, g)
+        if down.get("downsample") is not None:
+            # pad right/bottom by 1, stride 2 (vae.rs:196-200)
+            h = conv2d(h, down["downsample"], stride=2, padding=((0, 1), (0, 1)))
+    h = _mid(p["mid"], h, g)
+    h = group_norm(h, g, p["norm_out"]["w"], p["norm_out"]["b"])
+    h = conv2d(jax.nn.silu(h), p["conv_out"], padding=_PAD1)
+    if params.get("quant_conv") is not None:
+        h = conv2d(h, params["quant_conv"])
+    mean, logvar = jnp.split(h, 2, axis=-1)
+    if key is None:
+        return mean
+    std = jnp.exp(0.5 * logvar.astype(jnp.float32)).astype(mean.dtype)
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests)
+# ---------------------------------------------------------------------------
+
+
+def _rand_conv(key, kh, kw, cin, cout, dtype):
+    k1, _ = jax.random.split(key)
+    w = jax.random.normal(k1, (kh, kw, cin, cout), jnp.float32)
+    w = w * ((kh * kw * cin) ** -0.5)
+    return Conv(w=w.astype(dtype), b=jnp.zeros((cout,), dtype))
+
+
+def _rand_lin(key, cin, cout, dtype):
+    w = jax.random.normal(key, (cin, cout), jnp.float32) * (cin ** -0.5)
+    return Linear(w=w.astype(dtype), b=jnp.zeros((cout,), dtype))
+
+
+def _rand_gn(c, dtype):
+    return {"w": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+
+def init_vae_params(key, cfg: VAEConfig, dtype=jnp.float32) -> Params:
+    ks = iter(jax.random.split(key, 256))
+
+    def res(cin, cout):
+        return {
+            "norm1": _rand_gn(cin, dtype),
+            "conv1": _rand_conv(next(ks), 3, 3, cin, cout, dtype),
+            "norm2": _rand_gn(cout, dtype),
+            "conv2": _rand_conv(next(ks), 3, 3, cout, cout, dtype),
+            "shortcut": None if cin == cout else _rand_conv(next(ks), 1, 1, cin, cout, dtype),
+        }
+
+    def mid(c):
+        return {
+            "res1": res(c, c),
+            "attn": {
+                "norm": _rand_gn(c, dtype),
+                "q": _rand_lin(next(ks), c, c, dtype),
+                "k": _rand_lin(next(ks), c, c, dtype),
+                "v": _rand_lin(next(ks), c, c, dtype),
+                "out": _rand_lin(next(ks), c, c, dtype),
+            } if cfg.mid_block_add_attention else None,
+            "res2": res(c, c),
+        }
+
+    boc = cfg.block_out_channels
+    # encoder
+    down: List[Params] = []
+    cin = boc[0]
+    for i, cout in enumerate(boc):
+        resnets = []
+        c = boc[0] if i == 0 else boc[i - 1]
+        for _ in range(cfg.layers_per_block):
+            resnets.append(res(c, cout))
+            c = cout
+        down.append({
+            "resnets": resnets,
+            "downsample": _rand_conv(next(ks), 3, 3, cout, cout, dtype)
+            if i != len(boc) - 1 else None,
+        })
+        cin = cout
+    encoder = {
+        "conv_in": _rand_conv(next(ks), 3, 3, cfg.in_channels, boc[0], dtype),
+        "down": down,
+        "mid": mid(boc[-1]),
+        "norm_out": _rand_gn(boc[-1], dtype),
+        "conv_out": _rand_conv(next(ks), 3, 3, boc[-1], 2 * cfg.latent_channels, dtype),
+    }
+    # decoder
+    up: List[Params] = []
+    c = boc[-1]
+    for i, cout in enumerate(reversed(boc)):
+        resnets = []
+        for _ in range(cfg.layers_per_block + 1):
+            resnets.append(res(c, cout))
+            c = cout
+        up.append({
+            "resnets": resnets,
+            "upsample": _rand_conv(next(ks), 3, 3, cout, cout, dtype)
+            if i != len(boc) - 1 else None,
+        })
+    decoder = {
+        "conv_in": _rand_conv(next(ks), 3, 3, cfg.latent_channels, boc[-1], dtype),
+        "mid": mid(boc[-1]),
+        "up": up,
+        "norm_out": _rand_gn(boc[0], dtype),
+        "conv_out": _rand_conv(next(ks), 3, 3, boc[0], cfg.out_channels, dtype),
+    }
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        "quant_conv": _rand_conv(next(ks), 1, 1, 2 * cfg.latent_channels, 2 * cfg.latent_channels, dtype)
+        if cfg.use_quant_conv else None,
+        "post_quant_conv": _rand_conv(next(ks), 1, 1, cfg.latent_channels, cfg.latent_channels, dtype)
+        if cfg.use_post_quant_conv else None,
+    }
