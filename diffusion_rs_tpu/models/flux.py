@@ -73,14 +73,23 @@ class FluxConfig:
 
     @staticmethod
     def from_json(d: dict) -> "FluxConfig":
+        """The reference hardcodes HIDDEN_SIZE=3072 / axes [16,56,56]
+        (model.rs:16-19); we honor the diffusers config fields
+        ``attention_head_dim`` / ``axes_dims_rope`` when present so non-3072
+        variants (and tiny test configs) load too."""
+        heads = d["num_attention_heads"]
+        head_dim = d.get("attention_head_dim", 128)
+        axes = tuple(d.get("axes_dims_rope", (16, 56, 56)))
         return FluxConfig(
             in_channels=d["in_channels"],
             pooled_projection_dim=d["pooled_projection_dim"],
             joint_attention_dim=d["joint_attention_dim"],
-            num_attention_heads=d["num_attention_heads"],
+            num_attention_heads=heads,
             num_layers=d["num_layers"],
             num_single_layers=d["num_single_layers"],
             guidance_embeds=d["guidance_embeds"],
+            hidden_size=heads * head_dim,
+            axes_dim=axes,
         )
 
 

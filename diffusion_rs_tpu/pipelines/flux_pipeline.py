@@ -1,0 +1,193 @@
+"""FLUX text-to-image pipeline.
+
+Behavioral reference: diffusion_rs_core/src/pipelines/flux/mod.rs
+FluxPipeline::forward (:225-340): tokenize+pad both encoders, schnell's
+256-token T5 contract, T5 + CLIP encode, latent noise, patchify + position
+ids, resolution shift mu, Euler denoise, unpack, VAE scale/shift + decode,
+(clamp+1)*127.5 -> u8.
+
+TPU design: ONE jit-compiled graph per (batch, resolution, steps, txt_len)
+covers text encode -> denoise scan -> VAE decode; the only host work is
+tokenization and PNG encode. The reference crosses the host boundary every
+denoise step for its progress bar; we trade the bar for a fused scan.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import ClipTextConfig, clip_encode
+from ..models.flux import FluxConfig, compute_pe, flux_forward
+from ..models.t5 import T5Config, t5_encode
+from ..models.vae import VAEConfig, vae_decode
+from ..io.tokenizer import tokenize_and_pad
+from ..util.tracing import trace_span
+from .sampling import (
+    denoise_scan,
+    get_noise,
+    make_img_ids,
+    make_txt_ids,
+    pack_latents,
+    unpack_latents,
+)
+from .scheduler import SchedulerConfig, calculate_shift
+
+# T5 context: schnell is hard-capped at 256 (flux/mod.rs:243-253); dev uses
+# 512 (the upstream max_sequence_length) as a fixed jit-stable pad length.
+T5_LEN_SCHNELL = 256
+T5_LEN_DEV = 512
+CLIP_MAX_LEN = 77
+
+
+class FluxPipeline:
+    def __init__(
+        self,
+        *,
+        flux_params,
+        flux_cfg: FluxConfig,
+        t5_params,
+        t5_cfg: T5Config,
+        clip_params,
+        clip_cfg: ClipTextConfig,
+        vae_params,
+        vae_cfg: VAEConfig,
+        scheduler: SchedulerConfig,
+        t5_tokenizer,
+        clip_tokenizer,
+        dtype=jnp.bfloat16,
+        offload=None,
+        silent: bool = False,
+    ):
+        self.flux_params = flux_params
+        self.flux_cfg = flux_cfg
+        self.t5_params = t5_params
+        self.t5_cfg = t5_cfg
+        self.clip_params = clip_params
+        self.clip_cfg = clip_cfg
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
+        self.scheduler = scheduler
+        self.t5_tokenizer = t5_tokenizer
+        self.clip_tokenizer = clip_tokenizer
+        self.dtype = dtype
+        self.offload = offload
+        self.silent = silent
+        self._generate_jit = jax.jit(
+            self._generate,
+            static_argnames=("height", "width"),
+        )
+
+    # -- jitted core ---------------------------------------------------------
+
+    def _generate(
+        self,
+        flux_params,
+        t5_params,
+        clip_params,
+        vae_params,
+        t5_ids,
+        clip_ids,
+        sigmas,
+        guidance,
+        noise,
+        *,
+        height: int,
+        width: int,
+    ):
+        dt = self.dtype
+        with trace_span("text-encode"):
+            txt = t5_encode(t5_params, self.t5_cfg, t5_ids).astype(dt)
+            _, y = clip_encode(clip_params, self.clip_cfg, clip_ids)
+            y = y.astype(dt)
+
+        bs = txt.shape[0]
+        img = pack_latents(noise.astype(dt))
+        h2, w2 = noise.shape[2] // 2, noise.shape[3] // 2
+        img_ids = make_img_ids(bs, h2, w2)
+        txt_ids = make_txt_ids(bs, txt.shape[1])
+        pe = compute_pe(self.flux_cfg, txt_ids, img_ids)
+
+        def step(x, t):
+            t_vec = jnp.full((bs,), t, jnp.float32)
+            return flux_forward(
+                flux_params, self.flux_cfg, x.astype(dt), txt, t_vec, y,
+                guidance, pe=pe,
+            )
+
+        with trace_span("denoise"):
+            latent = denoise_scan(step, img, sigmas)
+
+        with trace_span("vae-decode"):
+            latent = unpack_latents(latent, height, width)
+            z = latent / self.vae_cfg.scaling_factor + self.vae_cfg.shift_factor
+            z_nhwc = z.transpose(0, 2, 3, 1).astype(dt)
+            img_out = vae_decode(vae_params, self.vae_cfg, z_nhwc)
+            u8 = jnp.clip(
+                (jnp.clip(img_out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5,
+                0, 255,
+            ).astype(jnp.uint8)
+        return u8  # NHWC
+
+    # -- host front-end -------------------------------------------------------
+
+    def forward_arrays(
+        self, prompts: List[str], params, return_latents: bool = False
+    ) -> np.ndarray:
+        """Returns u8 NHWC images [B, H, W, 3]."""
+        if self.offload is not None:
+            self.offload.ensure_resident()
+        t5_len = T5_LEN_DEV if self.flux_cfg.guidance_embeds else T5_LEN_SCHNELL
+        t5_ids = tokenize_and_pad(prompts, self.t5_tokenizer, pad_to=t5_len)
+        clip_ids = tokenize_and_pad(prompts, self.clip_tokenizer)
+        if clip_ids.shape[1] > CLIP_MAX_LEN:
+            clip_ids = clip_ids[:, :CLIP_MAX_LEN]
+
+        mu = calculate_shift(
+            ((params.height + 15) // 16) * ((params.width + 15) // 16),
+            self.scheduler.base_image_seq_len,
+            self.scheduler.max_image_seq_len,
+            self.scheduler.base_shift,
+            self.scheduler.max_shift,
+        )
+        sigmas = jnp.asarray(
+            self.scheduler.timesteps(
+                params.num_steps,
+                mu=mu if self.scheduler.use_dynamic_shifting else None,
+            )
+        )
+        seed = params.seed if params.seed is not None else int(time.time_ns() % (1 << 31))
+        key = jax.random.PRNGKey(seed)
+        noise = get_noise(key, len(prompts), params.height, params.width)
+        guidance = (
+            jnp.full((len(prompts),), params.guidance_scale, jnp.float32)
+            if self.flux_cfg.guidance_embeds
+            else None
+        )
+        out = self._generate_jit(
+            self.flux_params,
+            self.t5_params,
+            self.clip_params,
+            self.vae_params,
+            jnp.asarray(t5_ids),
+            jnp.asarray(clip_ids),
+            sigmas,
+            guidance,
+            noise,
+            height=params.height,
+            width=params.width,
+        )
+        return np.asarray(jax.device_get(out))
+
+    def forward(self, prompts: List[str], params) -> list:
+        """PIL images, one per prompt (pipelines/mod.rs:253-268 splits the
+        BCHW u8 batch into DynamicImages; we split NHWC)."""
+        from PIL import Image
+
+        arr = self.forward_arrays(prompts, params)
+        return [Image.fromarray(arr[i]) for i in range(arr.shape[0])]

@@ -1,0 +1,165 @@
+"""Pipeline loading: model_index.json dispatch -> component assembly.
+
+Behavioral reference: diffusion_rs_core/src/pipelines/mod.rs Pipeline::load
+(:120-239) — FileLoader from the source, model_index.json `_class_name`
+dispatch ("FluxPipeline"), per-component classification, device/dtype
+resolution, then FluxLoader::load_from_components
+(pipelines/flux/mod.rs:45-189) wiring scheduler, two text encoders, two
+tokenizers, transformer and VAE.
+
+TPU notes: `ModelDType.Auto` resolves to bf16 (the auto-dtype matmul probe of
+util/auto_dtype.rs is unnecessary — every TPU generation supports bf16);
+`transformer_model_id` overrides where the FLUX weights come from (the
+reference's ModelIdWithTransformer, model_source.rs:65-73).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..io.builders import (
+    build_clip_params,
+    build_flux_params,
+    build_t5_params,
+    build_vae_params,
+)
+from ..io.source import FileLoader
+from ..io.tokenizer import (
+    load_clip_bpe_tokenizer,
+    load_t5_tokenizer_from_bytes,
+)
+from ..io.varstore import VarStore
+from ..models.clip import ClipTextConfig
+from ..models.flux import FluxConfig
+from ..models.t5 import T5Config
+from ..models.vae import VAEConfig
+from .api import ModelDType, ModelSource, Offloading
+from .flux_pipeline import FluxPipeline
+from .scheduler import SchedulerConfig
+
+log = logging.getLogger("diffusion_rs_tpu")
+
+
+def _resolve_dtype(dtype: ModelDType):
+    if dtype in (ModelDType.Auto, ModelDType.BF16):
+        return jnp.bfloat16
+    if dtype == ModelDType.F16:
+        return jnp.float16
+    return jnp.float32
+
+
+def _component_store(loader: FileLoader, prefix: str, dtype) -> VarStore:
+    store = VarStore(default_dtype=dtype)
+    n = 0
+    for name in loader.list_files():
+        if name.startswith(prefix + "/") and name.endswith(".safetensors"):
+            store.add_safetensors(loader.safetensors(name))
+            n += 1
+    if n == 0:
+        raise FileNotFoundError(f"no safetensors under {prefix}/")
+    return store
+
+
+def load_pipeline(
+    source: ModelSource,
+    silent: bool = False,
+    token: Optional[str] = None,
+    revision: Optional[str] = None,
+    offloading: Optional[Offloading] = None,
+    dtype: ModelDType = ModelDType.Auto,
+) -> FluxPipeline:
+    loader = FileLoader(
+        model_id=source.model_id,
+        dduf_file=source.dduf_file,
+        token=token,
+        revision=revision,
+        silent=silent,
+    )
+    index = json.loads(loader.read_bytes("model_index.json"))
+    class_name = index.get("_class_name")
+    if class_name != "FluxPipeline":
+        raise ValueError(f"unsupported pipeline class {class_name!r}")
+    dt = _resolve_dtype(dtype)
+
+    if not silent:
+        log.info("loading FluxPipeline (dtype=%s)", jnp.dtype(dt).name)
+
+    scheduler = SchedulerConfig.from_json(
+        json.loads(loader.read_bytes("scheduler/scheduler_config.json"))
+    )
+    clip_tokenizer = load_clip_bpe_tokenizer(
+        loader.read_bytes("tokenizer/vocab.json"),
+        loader.read_bytes("tokenizer/merges.txt"),
+    )
+    t5_tokenizer = load_t5_tokenizer_from_bytes(
+        loader.read_bytes("tokenizer_2/tokenizer.json")
+    )
+
+    clip_cfg = ClipTextConfig.from_json(
+        json.loads(loader.read_bytes("text_encoder/config.json"))
+    )
+    clip_params = build_clip_params(
+        _component_store(loader, "text_encoder", dt), clip_cfg, dt
+    )
+    if not silent:
+        log.info("loaded CLIP text encoder (%d layers)", clip_cfg.num_hidden_layers)
+
+    t5_cfg = T5Config.from_json(
+        json.loads(loader.read_bytes("text_encoder_2/config.json"))
+    )
+    t5_params = build_t5_params(
+        _component_store(loader, "text_encoder_2", dt), t5_cfg, dt
+    )
+    if not silent:
+        log.info("loaded T5 encoder (%d layers, d_model %d)", t5_cfg.num_layers, t5_cfg.d_model)
+
+    vae_cfg = VAEConfig.from_json(json.loads(loader.read_bytes("vae/config.json")))
+    vae_params = build_vae_params(_component_store(loader, "vae", dt), vae_cfg, dt)
+    if not silent:
+        log.info("loaded VAE (%s)", list(vae_cfg.block_out_channels))
+
+    # Transformer, possibly from an override repo (quantized DDUF/model id).
+    flux_loader = loader
+    if source.transformer_model_id:
+        flux_loader = FileLoader(
+            model_id=source.transformer_model_id, token=token, revision=revision,
+            silent=silent,
+        )
+    flux_cfg = FluxConfig.from_json(
+        json.loads(flux_loader.read_bytes("transformer/config.json"))
+    )
+    flux_params = build_flux_params(
+        _component_store(flux_loader, "transformer", dt), flux_cfg, dt
+    )
+    if not silent:
+        log.info(
+            "loaded FLUX transformer (%d double + %d single blocks, guidance=%s)",
+            flux_cfg.num_layers, flux_cfg.num_single_layers, flux_cfg.guidance_embeds,
+        )
+
+    offload = None
+    if offloading is Offloading.Full:
+        from ..parallel.offload import HostOffload
+
+        offload = HostOffload()
+
+    return FluxPipeline(
+        flux_params=flux_params,
+        flux_cfg=flux_cfg,
+        t5_params=t5_params,
+        t5_cfg=t5_cfg,
+        clip_params=clip_params,
+        clip_cfg=clip_cfg,
+        vae_params=vae_params,
+        vae_cfg=vae_cfg,
+        scheduler=scheduler,
+        t5_tokenizer=t5_tokenizer,
+        clip_tokenizer=clip_tokenizer,
+        dtype=dt,
+        offload=offload,
+        silent=silent,
+    )

@@ -1,0 +1,87 @@
+"""End-to-end pipeline tests on a synthetic tiny checkpoint: the PR1 slice of
+SURVEY.md §7.2 — load -> tokenize -> T5+CLIP encode -> denoise scan -> VAE
+decode -> PNG bytes, plus the DDUF path and the bnb-quantized transformer
+path."""
+
+import io as stdio
+
+import numpy as np
+import pytest
+
+from diffusion_rs_tpu import (
+    DiffusionGenerationParams,
+    ModelSource,
+    Pipeline,
+)
+
+from synth import write_checkpoint, write_dduf
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    return write_checkpoint(tmp_path_factory.mktemp("flux_tiny"), seed=0)
+
+
+@pytest.fixture(scope="module")
+def pipe(ckpt):
+    return Pipeline(ModelSource.from_model_id(str(ckpt)), silent=True)
+
+
+PARAMS = DiffusionGenerationParams(
+    height=64, width=64, num_steps=2, guidance_scale=0.0, seed=42
+)
+
+
+def test_forward_returns_png_bytes(pipe):
+    out = pipe.forward(["a photo of a cat"], PARAMS)
+    assert len(out) == 1
+    from PIL import Image
+
+    img = Image.open(stdio.BytesIO(out[0]))
+    assert img.size == (64, 64)
+    assert img.mode == "RGB"
+
+
+def test_forward_batch(pipe):
+    imgs = pipe.forward_images(["a cat", "a dog"], PARAMS)
+    assert len(imgs) == 2
+    a, b = (np.asarray(i) for i in imgs)
+    assert a.shape == (64, 64, 3)
+    # different prompts, same seed -> different images
+    assert (a != b).any()
+
+
+def test_seed_determinism(ckpt, pipe):
+    a = pipe.forward_images(["a photo"], PARAMS)[0]
+    b = pipe.forward_images(["a photo"], PARAMS)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dduf_source_matches_directory(ckpt, pipe, tmp_path):
+    dduf = write_dduf(ckpt, tmp_path / "tiny.dduf")
+    pipe2 = Pipeline(ModelSource.dduf(str(dduf)), silent=True)
+    a = pipe.forward_images(["a photo"], PARAMS)[0]
+    b = pipe2.forward_images(["a photo"], PARAMS)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantized_transformer_runs(tmp_path):
+    root = write_checkpoint(tmp_path / "flux_nf4", seed=0, quant="nf4")
+    pipe = Pipeline(ModelSource.from_model_id(str(root)), silent=True)
+    img = pipe.forward_images(["a cat"], PARAMS)[0]
+    arr = np.asarray(img)
+    assert arr.shape == (64, 64, 3)
+
+
+def test_quantized_close_to_dense(tmp_path):
+    """nf4 transformer output stays close to the dense one (same seed/weights
+    modulo quantization) — the moral equivalent of the reference's 0.02
+    quantized-matmul budget at pipeline level."""
+    dense_root = write_checkpoint(tmp_path / "d", seed=0)
+    nf4_root = write_checkpoint(tmp_path / "q", seed=0, quant="nf4")
+    a = Pipeline(ModelSource.from_model_id(str(dense_root)), silent=True)
+    b = Pipeline(ModelSource.from_model_id(str(nf4_root)), silent=True)
+    ia = np.asarray(a.forward_images(["a photo"], PARAMS)[0], np.float32)
+    ib = np.asarray(b.forward_images(["a photo"], PARAMS)[0], np.float32)
+    # u8 images; mean abs diff should be small relative to 255 full-scale
+    assert np.abs(ia - ib).mean() < 16.0
