@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+North-star config (BASELINE.md): FLUX.1 1024x1024, 28 steps, Q4 weights,
+batch 1 — we report images/sec/chip derived from the measured p50
+per-denoise-step latency of the full MMDiT forward (19 double + 38 single
+blocks, hidden 3072, nf4-quantized linears via the fused Pallas
+dequant-matmul, flash SDPA over the 4608-token joint sequence).
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
+against the driver-recorded history (1.0 = this run's own value on first
+round).
+
+Usage: python bench.py [--small] [--steps N] [--impl dense|q4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="CPU-sized smoke config")
+    ap.add_argument("--steps", type=int, default=8, help="timed denoise steps")
+    ap.add_argument("--impl", choices=["q4", "dense"], default="q4")
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_rs_tpu.models.flux import (
+        FluxConfig,
+        compute_pe,
+        flux_forward,
+        init_flux_params,
+    )
+    from diffusion_rs_tpu.pipelines.sampling import make_img_ids, make_txt_ids
+    from diffusion_rs_tpu.util.synthetic import init_flux_params_quantized
+
+    if args.small:
+        cfg = FluxConfig(
+            in_channels=64, pooled_projection_dim=64, joint_attention_dim=64,
+            num_attention_heads=4, num_layers=2, num_single_layers=4,
+            guidance_embeds=True, hidden_size=128, axes_dim=(8, 12, 12),
+        )
+        res, txt_len = 256, 64
+    else:
+        cfg = FluxConfig(guidance_embeds=True)  # FLUX.1-dev dims
+        res, txt_len = args.res, 512
+
+    dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    if args.impl == "q4" and not args.small:
+        params = init_flux_params_quantized(key, cfg, dtype)
+    else:
+        params = init_flux_params(key, cfg, dtype)
+
+    b = args.batch
+    h2 = w2 = (res + 15) // 16
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    img = jax.random.normal(ks[0], (b, h2 * w2, cfg.in_channels), dtype)
+    txt = jax.random.normal(ks[1], (b, txt_len, cfg.joint_attention_dim), dtype)
+    y = jax.random.normal(ks[2], (b, cfg.pooled_projection_dim), dtype)
+    pe = compute_pe(cfg, make_txt_ids(b, txt_len), make_img_ids(b, h2, w2))
+    t = jnp.full((b,), 0.7, jnp.float32)
+    guidance = jnp.full((b,), 3.5, jnp.float32)
+
+    @jax.jit
+    def step(params, img):
+        pred = flux_forward(params, cfg, img, txt, t, y, guidance, pe=pe)
+        return img + pred * (-1.0 / 28.0)
+
+    # compile + warmup
+    img = step(params, img)
+    img.block_until_ready()
+    times = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        img = step(params, img)
+        img.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    p50 = statistics.median(times)
+    images_per_sec_chip = b / (28.0 * p50)
+
+    print(
+        json.dumps({
+            "metric": f"FLUX.1-dev {res}x{res} {args.impl} images/sec/chip (28 steps, p50 step {p50*1e3:.1f} ms, batch {b})",
+            "value": round(images_per_sec_chip, 5),
+            "unit": "images/sec/chip",
+            "vs_baseline": 1.0,
+        })
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Interactive CLI front-end.
+
+Mirrors the reference binary (diffusion_rs_cli/src/main.rs:30-144):
+subcommand-style sources (``--dduf FILE`` | ``--model-id ID``), flags
+``--scale --num-steps --offloading --dtype --token --revision``, then an
+interactive prompt loop asking height/width/prompt/save-path per image.
+
+Usage:
+    python -m diffusion_rs_tpu.cli --model-id <id-or-dir> [--num-steps 50 ...]
+    python -m diffusion_rs_tpu.cli --dduf model.dduf --prompt "..." -o out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="diffusion_rs_tpu",
+        description="TPU-native diffusion inference (FLUX.1 dev/schnell)",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("-m", "--model-id", help="HF model id or local directory")
+    src.add_argument("-f", "--dduf", help="path to a .dduf archive")
+    p.add_argument("--transformer-model-id", default=None,
+                   help="override source for the transformer (quantized repo)")
+    p.add_argument("--scale", type=float, default=3.5, help="guidance scale")
+    p.add_argument("--num-steps", type=int, default=50)
+    p.add_argument("--offloading", choices=["full"], default=None)
+    p.add_argument("--dtype", choices=["auto", "bf16", "f16", "f32"], default="auto")
+    p.add_argument("--token", default=None)
+    p.add_argument("--revision", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--prompt", default=None,
+                   help="non-interactive: generate once and exit")
+    p.add_argument("-o", "--out", default="image.png")
+    p.add_argument("--silent", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.WARNING if args.silent else logging.INFO,
+                        format="%(levelname)s %(name)s: %(message)s")
+
+    from .pipelines.api import (
+        DiffusionGenerationParams,
+        ModelDType,
+        ModelSource,
+        Offloading,
+        Pipeline,
+    )
+
+    source = (
+        ModelSource.dduf(args.dduf)
+        if args.dduf
+        else ModelSource.from_model_id(args.model_id, args.transformer_model_id)
+    )
+    pipe = Pipeline(
+        source,
+        silent=args.silent,
+        token=args.token,
+        revision=args.revision,
+        offloading=Offloading.Full if args.offloading == "full" else None,
+        dtype=ModelDType(args.dtype),
+    )
+
+    def generate(prompt: str, height: int, width: int, out_path: str):
+        params = DiffusionGenerationParams(
+            height=height, width=width, num_steps=args.num_steps,
+            guidance_scale=args.scale, seed=args.seed,
+        )
+        t0 = time.time()
+        img = pipe.forward_images([prompt], params)[0]
+        print(f"Took: {time.time() - t0:.2f}s")
+        img.save(out_path)
+        print(f"Saved to {out_path}")
+
+    if args.prompt is not None:
+        generate(args.prompt, args.height, args.width, args.out)
+        return 0
+
+    # interactive loop (main.rs:97-143)
+    print("Interactive mode — Ctrl-C/empty prompt to exit.")
+    n = 0
+    while True:
+        try:
+            h = input(f"Height [{args.height}]: ").strip()
+            w = input(f"Width [{args.width}]: ").strip()
+            prompt = input("Prompt: ").strip()
+            if not prompt:
+                return 0
+            out = input(f"Save path [image_{n}.png]: ").strip() or f"image_{n}.png"
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        generate(prompt, int(h or args.height), int(w or args.width), out)
+        n += 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,7 @@
+"""Parallelism & memory-capacity scaling (SURVEY.md §2.8 TPU equivalents):
+mesh construction, GSPMD tensor/data-parallel sharding rules, host-DRAM
+offload."""
+
+from .mesh import batch_sharding, make_mesh, replicated  # noqa: F401
+from .sharding import replicate_params, shard_params  # noqa: F401
+from .offload import HostOffload  # noqa: F401

@@ -45,7 +45,11 @@ log = logging.getLogger("diffusion_rs_tpu")
 
 
 def _resolve_dtype(dtype: ModelDType):
-    if dtype in (ModelDType.Auto, ModelDType.BF16):
+    if dtype == ModelDType.Auto:
+        from ..util.dtype import resolve_auto_dtype
+
+        return resolve_auto_dtype()
+    if dtype == ModelDType.BF16:
         return jnp.bfloat16
     if dtype == ModelDType.F16:
         return jnp.float16

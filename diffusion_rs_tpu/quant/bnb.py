@@ -127,14 +127,24 @@ def bnb4bit_to_canonical(
         # materializing per-element scales is wasteful, so instead we require
         # alignment (all FLUX/T5/CLIP shapes satisfy this).
         raise ValueError(f"in_features {k_in} not divisible by blocksize {blocksize}")
-    q = q.reshape(n_out, k_in)
     scale = absmax.astype(np.float32).reshape(n_out, k_in // blocksize)
-    # K-major canonical layout.
-    qT = np.ascontiguousarray(q.T)  # [K, N]
-    scaleT = np.ascontiguousarray(scale.T)  # [K//g, N]
     split = choose_split(k_in)
+    # K-major canonical layout; one-pass native repack when available.
+    packed = None
+    try:
+        from ..io.native import bnb_repack4, transpose_2d
+
+        packed = bnb_repack4(weight_bytes, n_out, k_in, split)
+        scaleT = transpose_2d(scale)
+    except ImportError:  # pragma: no cover
+        pass
+    if packed is None:
+        q = q.reshape(n_out, k_in)
+        qT = np.ascontiguousarray(q.T)  # [K, N]
+        scaleT = np.ascontiguousarray(scale.T)  # [K//g, N]
+        packed = pack4(qT, split)
     return QuantizedTensor(
-        packed=jnp.asarray(pack4(qT, split)),
+        packed=jnp.asarray(packed),
         scale=jnp.asarray(scaleT),
         bias=None,
         codebook=jnp.asarray(CODEBOOKS[kind]),

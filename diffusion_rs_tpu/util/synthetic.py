@@ -1,0 +1,103 @@
+"""Synthetic weight factories for benchmarks (random weights, real shapes).
+
+Quantized tensors are generated DIRECTLY ON DEVICE (random packed nibbles +
+constant scale planes) — no host-side quantization pass and no 6GB H2D
+upload for a 12B-param benchmark model.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant.bnb import NF4_CODEBOOK
+from ..quant.qtensor import QuantizedTensor, choose_split
+from ..ops.linear import Linear
+
+
+def random_qtensor(
+    key, k: int, n: int, kind: str = "nf4", group: int = 64,
+    stack: Optional[int] = None, out_dtype: str = "bfloat16",
+) -> QuantizedTensor:
+    split = choose_split(k)
+    lead = () if stack is None else (stack,)
+    packed = jax.random.randint(
+        key, lead + (k // 2, n), 0, 256, dtype=jnp.int32
+    ).astype(jnp.uint8)
+    # absmax chosen so dequantized weights have ~1/sqrt(k) scale
+    scale = jnp.full(lead + (k // group, n), 2.0 * k ** -0.5, jnp.float32)
+    # codebook is a DATA field: stacked layers need a stacked codebook so
+    # lax.scan can slice it per layer alongside packed/scale.
+    cb = jnp.asarray(NF4_CODEBOOK)
+    if stack is not None:
+        cb = jnp.tile(cb[None], (stack, 1))
+    return QuantizedTensor(
+        packed=packed,
+        scale=scale,
+        bias=None,
+        codebook=cb,
+        kind=kind,
+        bits=4,
+        group=group,
+        split=split,
+        shape=(k, n),
+        out_dtype=out_dtype,
+    )
+
+
+def init_flux_params_quantized(key, cfg, dtype=jnp.bfloat16):
+    """FLUX params with every linear nf4-quantized (Q4 bench configs).
+    Norm scales stay dense; biases are zeros."""
+    h, m = cfg.hidden_size, cfg.mlp_size
+    hd = cfg.head_dim
+    keys = iter(jax.random.split(key, 96))
+
+    def qlin(k_in, n_out, stack=None):
+        b = jnp.zeros((n_out,) if stack is None else (stack, n_out), dtype)
+        return Linear(w=random_qtensor(next(keys), k_in, n_out, stack=stack), b=b)
+
+    def attn(stack):
+        return {
+            "q": qlin(h, h, stack),
+            "k": qlin(h, h, stack),
+            "v": qlin(h, h, stack),
+            "proj": qlin(h, h, stack),
+            "q_norm": jnp.ones((stack, hd), dtype),
+            "k_norm": jnp.ones((stack, hd), dtype),
+        }
+
+    L, S = cfg.num_layers, cfg.num_single_layers
+    params = {
+        "img_in": qlin(cfg.in_channels, h) if cfg.in_channels % 2 == 0 and cfg.in_channels >= 64 else qlin(64, h),
+        "txt_in": qlin(cfg.joint_attention_dim, h),
+        "time_in": {"in": qlin(256, h), "out": qlin(h, h)},
+        "vector_in": {"in": qlin(cfg.pooled_projection_dim, h), "out": qlin(h, h)},
+        "double": {
+            "img_mod": qlin(h, 6 * h, L),
+            "txt_mod": qlin(h, 6 * h, L),
+            "img_attn": attn(L),
+            "txt_attn": attn(L),
+            "img_mlp": {"in": qlin(h, m, L), "out": qlin(m, h, L)},
+            "txt_mlp": {"in": qlin(h, m, L), "out": qlin(m, h, L)},
+        },
+        "single": {
+            "q": qlin(h, h, S),
+            "k": qlin(h, h, S),
+            "v": qlin(h, h, S),
+            "q_norm": jnp.ones((S, hd), dtype),
+            "k_norm": jnp.ones((S, hd), dtype),
+            "proj_mlp": qlin(h, m, S),
+            "linear2": qlin(h + m, h, S),
+            "mod": qlin(h, 3 * h, S),
+        },
+        "final": {
+            "mod": qlin(h, 2 * h),
+            "proj": qlin(h, cfg.in_channels),
+        },
+    }
+    if cfg.guidance_embeds:
+        params["guidance_in"] = {"in": qlin(256, h), "out": qlin(h, h)}
+    return params
