@@ -36,6 +36,18 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the big scan graph + Mosaic kernels take
+    # minutes through the remote-compile path on first build; cache across
+    # processes so driver bench runs hit warm artifacts.
+    import pathlib
+
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     import jax.numpy as jnp
 
     from diffusion_rs_tpu.models.flux import (
