@@ -153,17 +153,34 @@ def supports(qt: QuantizedTensor, n_pad_ok: bool = True) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group", "split", "kn", "out_dtype", "interpret", "bm_cap"),
+    static_argnames=("bits", "group", "split", "kn", "out_dtype", "interpret",
+                     "bm_cap", "bn_cap"),
 )
 def _qmm_call(x, packed, scale, bias, codebook, *, bits, group, split, kn,
-              out_dtype, interpret, bm_cap):
+              out_dtype, interpret, bm_cap, bn_cap):
     k, n = kn
     m = x.shape[0]
     bk = split if bits == 4 else min(256, k)
-    bn = min(512, n)
+    bn = min(bn_cap, n)
     while n % bn != 0:
         bn //= 2
     bm = min(bm_cap, _round_up(m, 16))
+    # Clamp tiles to the VMEM budget (double-buffered inputs + f32 acc).
+    VMEM_BUDGET = 12 * 1024 * 1024
+
+    def vmem_use(bm_, bn_):
+        return (
+            2 * bm_ * bk * 2          # x blocks (pipelined)
+            + bm_ * bn_ * 4           # f32 accumulator
+            + bm_ * bn_ * 2           # output block
+            + 2 * (bk // 2 if bits == 4 else bk) * bn_  # packed blocks
+            + (k // group) * bn_ * 4 * (2 if bias is not None else 1)
+        )
+
+    while bm > 256 and vmem_use(bm, bn) > VMEM_BUDGET:
+        bm //= 2
+    while bn > 128 and vmem_use(bm, bn) > VMEM_BUDGET:
+        bn //= 2
     m_p = _round_up(m, bm)
     if m_p != m:
         x = jnp.pad(x, ((0, m_p - m), (0, 0)))
@@ -232,7 +249,8 @@ def quantized_matmul(
     qt: QuantizedTensor,
     out_dtype=None,
     interpret: bool = False,
-    bm_cap: int = 256,
+    bm_cap: int = 1536,
+    bn_cap: int = 512,
 ) -> jnp.ndarray:
     """``x [..., K] @ deq(qt) [K, N] -> [..., N]`` with weights staying packed
     in HBM. Falls back to XLA dequant+matmul for shapes the kernel tiling
@@ -252,5 +270,6 @@ def quantized_matmul(
         qt.bias, qt.codebook,
         bits=qt.bits, group=qt.group, split=qt.split, kn=(k, n),
         out_dtype=jnp.dtype(out_dtype), interpret=interpret, bm_cap=bm_cap,
+        bn_cap=bn_cap,
     )
     return out.reshape(*lead, n)

@@ -6,10 +6,12 @@ FluxPipeline::forward (:225-340): tokenize+pad both encoders, schnell's
 ids, resolution shift mu, Euler denoise, unpack, VAE scale/shift + decode,
 (clamp+1)*127.5 -> u8.
 
-TPU design: ONE jit-compiled graph per (batch, resolution, steps, txt_len)
-covers text encode -> denoise scan -> VAE decode; the only host work is
-tokenization and PNG encode. The reference crosses the host boundary every
-denoise step for its progress bar; we trade the bar for a fused scan.
+TPU design: three jit graphs — text-encode, denoise (the whole Euler loop
+under lax.scan, zero host round-trips), VAE decode — keyed by
+(batch, resolution, steps, txt_len). Stage boundaries are where the
+reference swaps whole components between host and device when offloading
+(flux/mod.rs:231-325); `HostOffload` slots in at exactly those seams here
+too, with jax.device_put as the swap primitive.
 """
 
 from __future__ import annotations
@@ -78,34 +80,28 @@ class FluxPipeline:
         self.dtype = dtype
         self.offload = offload
         self.silent = silent
-        self._generate_jit = jax.jit(
-            self._generate,
-            static_argnames=("height", "width"),
+        if offload is not None:
+            offload.register("t5", t5_params)
+            offload.register("clip", clip_params)
+            offload.register("flux", flux_params)
+            offload.register("vae", vae_params)
+        self._encode_jit = jax.jit(self._encode)
+        self._denoise_jit = jax.jit(
+            self._denoise, static_argnames=("height", "width")
         )
+        self._decode_jit = jax.jit(self._decode, static_argnames=("height", "width"))
 
-    # -- jitted core ---------------------------------------------------------
+    # -- jitted stages --------------------------------------------------------
 
-    def _generate(
-        self,
-        flux_params,
-        t5_params,
-        clip_params,
-        vae_params,
-        t5_ids,
-        clip_ids,
-        sigmas,
-        guidance,
-        noise,
-        *,
-        height: int,
-        width: int,
-    ):
+    def _encode(self, t5_params, clip_params, t5_ids, clip_ids):
         dt = self.dtype
         with trace_span("text-encode"):
             txt = t5_encode(t5_params, self.t5_cfg, t5_ids).astype(dt)
             _, y = clip_encode(clip_params, self.clip_cfg, clip_ids)
-            y = y.astype(dt)
+        return txt, y.astype(dt)
 
+    def _denoise(self, flux_params, txt, y, sigmas, guidance, noise, *, height, width):
+        dt = self.dtype
         bs = txt.shape[0]
         img = pack_latents(noise.astype(dt))
         h2, w2 = noise.shape[2] // 2, noise.shape[3] // 2
@@ -121,32 +117,50 @@ class FluxPipeline:
             )
 
         with trace_span("denoise"):
-            latent = denoise_scan(step, img, sigmas)
+            return denoise_scan(step, img, sigmas)
 
+    def _decode(self, vae_params, latent, *, height, width):
+        dt = self.dtype
         with trace_span("vae-decode"):
             latent = unpack_latents(latent, height, width)
             z = latent / self.vae_cfg.scaling_factor + self.vae_cfg.shift_factor
             z_nhwc = z.transpose(0, 2, 3, 1).astype(dt)
             img_out = vae_decode(vae_params, self.vae_cfg, z_nhwc)
-            u8 = jnp.clip(
+            return jnp.clip(
                 (jnp.clip(img_out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5,
                 0, 255,
-            ).astype(jnp.uint8)
-        return u8  # NHWC
+            ).astype(jnp.uint8)  # NHWC
+
+    # -- component residency (offload seams) ----------------------------------
+
+    def _component(self, name: str, default):
+        if self.offload is None:
+            return default
+        return self.offload.resident(name)
+
+    def _release(self, name: str):
+        if self.offload is not None:
+            self.offload.release(name)
 
     # -- host front-end -------------------------------------------------------
 
-    def forward_arrays(
-        self, prompts: List[str], params, return_latents: bool = False
-    ) -> np.ndarray:
+    def forward_arrays(self, prompts: List[str], params) -> np.ndarray:
         """Returns u8 NHWC images [B, H, W, 3]."""
-        if self.offload is not None:
-            self.offload.ensure_resident()
         t5_len = T5_LEN_DEV if self.flux_cfg.guidance_embeds else T5_LEN_SCHNELL
         t5_ids = tokenize_and_pad(prompts, self.t5_tokenizer, pad_to=t5_len)
         clip_ids = tokenize_and_pad(prompts, self.clip_tokenizer)
         if clip_ids.shape[1] > CLIP_MAX_LEN:
             clip_ids = clip_ids[:, :CLIP_MAX_LEN]
+
+        txt, y = self._encode_jit(
+            self._component("t5", self.t5_params),
+            self._component("clip", self.clip_params),
+            jnp.asarray(t5_ids),
+            jnp.asarray(clip_ids),
+        )
+        txt.block_until_ready()
+        self._release("t5")
+        self._release("clip")
 
         mu = calculate_shift(
             ((params.height + 15) // 16) * ((params.width + 15) // 16),
@@ -169,20 +183,21 @@ class FluxPipeline:
             if self.flux_cfg.guidance_embeds
             else None
         )
-        out = self._generate_jit(
-            self.flux_params,
-            self.t5_params,
-            self.clip_params,
-            self.vae_params,
-            jnp.asarray(t5_ids),
-            jnp.asarray(clip_ids),
-            sigmas,
-            guidance,
-            noise,
-            height=params.height,
-            width=params.width,
+        latent = self._denoise_jit(
+            self._component("flux", self.flux_params),
+            txt, y, sigmas, guidance, noise,
+            height=params.height, width=params.width,
         )
-        return np.asarray(jax.device_get(out))
+        latent.block_until_ready()
+        self._release("flux")
+
+        out = self._decode_jit(
+            self._component("vae", self.vae_params),
+            latent, height=params.height, width=params.width,
+        )
+        arr = np.asarray(jax.device_get(out))
+        self._release("vae")
+        return arr
 
     def forward(self, prompts: List[str], params) -> list:
         """PIL images, one per prompt (pipelines/mod.rs:253-268 splits the

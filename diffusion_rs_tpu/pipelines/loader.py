@@ -19,6 +19,7 @@ import json
 import logging
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..io.builders import (
@@ -92,6 +93,21 @@ def load_pipeline(
     if not silent:
         log.info("loading FluxPipeline (dtype=%s)", jnp.dtype(dt).name)
 
+    # Offloading::Full keeps weights in host RAM (pipelines/mod.rs:72-78);
+    # build all param trees on the CPU backend so device residency is
+    # managed per-component by HostOffload around each pipeline stage.
+    import contextlib
+
+    offload = None
+    build_ctx = contextlib.nullcontext()
+    if offloading is Offloading.Full:
+        from ..parallel.offload import HostOffload
+
+        offload = HostOffload()
+        cpus = jax.devices("cpu")
+        if cpus:
+            build_ctx = jax.default_device(cpus[0])
+
     scheduler = SchedulerConfig.from_json(
         json.loads(loader.read_bytes("scheduler/scheduler_config.json"))
     )
@@ -106,23 +122,26 @@ def load_pipeline(
     clip_cfg = ClipTextConfig.from_json(
         json.loads(loader.read_bytes("text_encoder/config.json"))
     )
-    clip_params = build_clip_params(
-        _component_store(loader, "text_encoder", dt), clip_cfg, dt
-    )
+    with build_ctx:
+        clip_params = build_clip_params(
+            _component_store(loader, "text_encoder", dt), clip_cfg, dt
+        )
     if not silent:
         log.info("loaded CLIP text encoder (%d layers)", clip_cfg.num_hidden_layers)
 
     t5_cfg = T5Config.from_json(
         json.loads(loader.read_bytes("text_encoder_2/config.json"))
     )
-    t5_params = build_t5_params(
-        _component_store(loader, "text_encoder_2", dt), t5_cfg, dt
-    )
+    with build_ctx:
+        t5_params = build_t5_params(
+            _component_store(loader, "text_encoder_2", dt), t5_cfg, dt
+        )
     if not silent:
         log.info("loaded T5 encoder (%d layers, d_model %d)", t5_cfg.num_layers, t5_cfg.d_model)
 
     vae_cfg = VAEConfig.from_json(json.loads(loader.read_bytes("vae/config.json")))
-    vae_params = build_vae_params(_component_store(loader, "vae", dt), vae_cfg, dt)
+    with build_ctx:
+        vae_params = build_vae_params(_component_store(loader, "vae", dt), vae_cfg, dt)
     if not silent:
         log.info("loaded VAE (%s)", list(vae_cfg.block_out_channels))
 
@@ -136,20 +155,15 @@ def load_pipeline(
     flux_cfg = FluxConfig.from_json(
         json.loads(flux_loader.read_bytes("transformer/config.json"))
     )
-    flux_params = build_flux_params(
-        _component_store(flux_loader, "transformer", dt), flux_cfg, dt
-    )
+    with build_ctx:
+        flux_params = build_flux_params(
+            _component_store(flux_loader, "transformer", dt), flux_cfg, dt
+        )
     if not silent:
         log.info(
             "loaded FLUX transformer (%d double + %d single blocks, guidance=%s)",
             flux_cfg.num_layers, flux_cfg.num_single_layers, flux_cfg.guidance_embeds,
         )
-
-    offload = None
-    if offloading is Offloading.Full:
-        from ..parallel.offload import HostOffload
-
-        offload = HostOffload()
 
     return FluxPipeline(
         flux_params=flux_params,

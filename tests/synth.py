@@ -90,7 +90,7 @@ def t5_tensors(rng) -> dict:
     return t
 
 
-def flux_linear_shapes() -> dict:
+def flux_linear_shapes(guidance: bool = False) -> dict:
     h, m = FLUX_HIDDEN, FLUX_HIDDEN * 4
     shapes = {
         "x_embedder": (h, 64),
@@ -102,6 +102,9 @@ def flux_linear_shapes() -> dict:
         "norm_out.linear": (2 * h, h),
         "proj_out": (64, h),
     }
+    if guidance:
+        shapes["time_text_embed.guidance_embedder.linear_1"] = (h, 256)
+        shapes["time_text_embed.guidance_embedder.linear_2"] = (h, h)
     for i in range(FLUX_LAYERS):
         p = f"transformer_blocks.{i}"
         shapes.update({
@@ -125,11 +128,11 @@ def flux_linear_shapes() -> dict:
     return shapes
 
 
-def flux_tensors(rng, quant: str | None = None) -> dict:
+def flux_tensors(rng, quant: str | None = None, guidance: bool = False) -> dict:
     """quant: None (f32 dense) or "nf4" (bnb 4-bit layout with quant_state)."""
     h = FLUX_HIDDEN
     t = {}
-    for name, (o, n) in flux_linear_shapes().items():
+    for name, (o, n) in flux_linear_shapes(guidance).items():
         w = _lin(rng, o, n)
         if quant == "nf4" and n % 64 == 0:
             packed, absmax = quantize_4bit_bnb_layout(w, blocksize=64, kind="nf4")
@@ -233,7 +236,12 @@ def make_clip_vocab_merges():
     return json.dumps(vocab), merges
 
 
-def write_checkpoint(root: Path, seed: int = 0, quant: str | None = None) -> Path:
+def write_checkpoint(
+    root: Path, seed: int = 0, quant: str | None = None,
+    guidance: bool = False, dynamic_shifting: bool = False,
+) -> Path:
+    """guidance/dynamic_shifting=True produces a dev-style checkpoint
+    (guidance embedder + dynamic mu shift), else schnell-style."""
     root = Path(root)
     rng = _rng(seed)
     (root / "scheduler").mkdir(parents=True, exist_ok=True)
@@ -246,7 +254,7 @@ def write_checkpoint(root: Path, seed: int = 0, quant: str | None = None) -> Pat
         "_class_name": "FlowMatchEulerDiscreteScheduler",
         "base_image_seq_len": 256, "base_shift": 0.5,
         "max_image_seq_len": 4096, "max_shift": 1.15,
-        "shift": 1.0, "use_dynamic_shifting": False,
+        "shift": 1.0, "use_dynamic_shifting": dynamic_shifting,
     }))
     (root / "text_encoder/config.json").write_text(json.dumps({
         "vocab_size": CLIP_VOCAB, "hidden_size": CLIP_HIDDEN,
@@ -274,11 +282,11 @@ def write_checkpoint(root: Path, seed: int = 0, quant: str | None = None) -> Pat
         "attention_head_dim": FLUX_HEAD_DIM,
         "axes_dims_rope": [4, 6, 6],
         "num_layers": FLUX_LAYERS, "num_single_layers": FLUX_SINGLE_LAYERS,
-        "guidance_embeds": False,
+        "guidance_embeds": guidance,
     }))
     save_safetensors(
         str(root / "transformer/diffusion_pytorch_model.safetensors"),
-        flux_tensors(rng, quant=quant),
+        flux_tensors(rng, quant=quant, guidance=guidance),
     )
     (root / "vae/config.json").write_text(json.dumps({
         "_class_name": "AutoencoderKL",

@@ -73,6 +73,36 @@ def test_quantized_transformer_runs(tmp_path):
     assert arr.shape == (64, 64, 3)
 
 
+def test_dev_model_guidance_and_dynamic_shift(tmp_path):
+    """Dev-style checkpoint: guidance embedder + dynamic mu shift + 512-token
+    T5 pad; guidance scale changes the output (flux/mod.rs:297-315)."""
+    root = write_checkpoint(tmp_path / "dev", seed=0, guidance=True,
+                            dynamic_shifting=True)
+    pipe = Pipeline(ModelSource.from_model_id(str(root)), silent=True)
+    p1 = DiffusionGenerationParams(height=64, width=64, num_steps=2,
+                                   guidance_scale=3.5, seed=42)
+    p2 = DiffusionGenerationParams(height=64, width=64, num_steps=2,
+                                   guidance_scale=0.0, seed=42)
+    a = np.asarray(pipe.forward_images(["a cat"], p1)[0])
+    b = np.asarray(pipe.forward_images(["a cat"], p2)[0])
+    assert a.shape == (64, 64, 3)
+    assert (a != b).any()
+
+
+def test_offloading_full_matches_resident(ckpt, pipe):
+    """Offloading::Full (host-resident weights, per-stage device swaps) must
+    be numerically identical to the fully-resident path."""
+    from diffusion_rs_tpu import Offloading
+
+    off = Pipeline(
+        ModelSource.from_model_id(str(ckpt)), silent=True,
+        offloading=Offloading.Full,
+    )
+    a = off.forward_images(["a photo"], PARAMS)[0]
+    b = pipe.forward_images(["a photo"], PARAMS)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quantized_close_to_dense(tmp_path):
     """nf4 transformer output stays close to the dense one (same seed/weights
     modulo quantization) — the moral equivalent of the reference's 0.02
