@@ -29,8 +29,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# Tuned on v5e at FLUX scale (B1 H24 S4608 D128): 50 TFLOP/s vs 25 at 256².
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1536
 _NEG_INF = -1e30
 
 
