@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-steps", type=int, default=50)
     p.add_argument("--offloading", choices=["full"], default=None)
     p.add_argument("--dtype", choices=["auto", "bf16", "f16", "f32"], default="auto")
+    p.add_argument("--isq", choices=["q4_0", "q8_0", "q4_k", "q6_k", "nf4"],
+                   default=None, help="in-situ quantize dense transformer linears")
     p.add_argument("--token", default=None)
     p.add_argument("--revision", default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -69,6 +71,7 @@ def main(argv=None) -> int:
         revision=args.revision,
         offloading=Offloading.Full if args.offloading == "full" else None,
         dtype=ModelDType(args.dtype),
+        isq=args.isq,
     )
 
     def generate(prompt: str, height: int, width: int, out_path: str):

@@ -31,12 +31,15 @@ def sdpa_xla(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     bias: Optional[jnp.ndarray] = None,
+    softcap: Optional[float] = None,
 ) -> jnp.ndarray:
     """Reference-semantics attention, f32 throughout.
 
     q, k, v: [B, H, S, D] (any float dtype; upcast like model.rs:43-47).
     bias: additive [B|1, H|1, Sq, Sk] (T5 relative-position bias / CLIP
-    causal mask). Returns q.dtype.
+    causal mask). ``softcap``: tanh score capping, the reference's
+    `softcapping` parameter (backend/src/ops.rs:247-262 applies
+    tanh(s/cap)*cap when cap != 1). Returns q.dtype.
     """
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
@@ -44,6 +47,8 @@ def sdpa_xla(
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     scores = jnp.einsum("bhsd,bhtd->bhst", qf, kf) * jnp.float32(scale)
+    if softcap is not None and softcap != 1.0:
+        scores = jnp.tanh(scores / softcap) * softcap
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -64,11 +69,16 @@ def sdpa(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     bias: Optional[jnp.ndarray] = None,
+    softcap: Optional[float] = None,
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Dispatching SDPA. ``impl`` in {None (auto), "flash", "xla"}."""
     if impl is None:
-        impl = "flash" if (_flash_available() and bias is None) else "xla"
+        impl = (
+            "flash"
+            if (_flash_available() and bias is None and softcap is None)
+            else "xla"
+        )
     if impl == "flash":
         from .flash_pallas import flash_attention
 
@@ -76,4 +86,4 @@ def sdpa(
             return flash_attention(q, k, v, scale=scale)
         except NotImplementedError:
             pass
-    return sdpa_xla(q, k, v, scale=scale, bias=bias)
+    return sdpa_xla(q, k, v, scale=scale, bias=bias, softcap=softcap)

@@ -79,7 +79,11 @@ class Pipeline:
         revision: Optional[str] = None,
         offloading: Optional[Offloading] = None,
         dtype: ModelDType = ModelDType.Auto,
+        isq: Optional[str] = None,
     ):
+        """``isq``: in-situ-quantize dense transformer linears at load
+        ("q4_0" | "q8_0" | "q4_k" | "q6_k" | "nf4") — IsqType equivalent
+        (diffusion_rs_backend/src/lib.rs:88-149)."""
         from .loader import load_pipeline  # deferred: heavy imports
 
         self._inner = load_pipeline(
@@ -89,6 +93,7 @@ class Pipeline:
             revision=revision,
             offloading=offloading,
             dtype=dtype,
+            isq=isq,
         )
 
     def forward(

@@ -76,6 +76,7 @@ def load_pipeline(
     revision: Optional[str] = None,
     offloading: Optional[Offloading] = None,
     dtype: ModelDType = ModelDType.Auto,
+    isq: Optional[str] = None,
 ) -> FluxPipeline:
     loader = FileLoader(
         model_id=source.model_id,
@@ -159,6 +160,12 @@ def load_pipeline(
         flux_params = build_flux_params(
             _component_store(flux_loader, "transformer", dt), flux_cfg, dt
         )
+        if isq:
+            from ..quant.isq import isq_tree
+
+            flux_params = isq_tree(flux_params, isq)
+            if not silent:
+                log.info("applied ISQ (%s) to transformer linears", isq)
     if not silent:
         log.info(
             "loaded FLUX transformer (%d double + %d single blocks, guidance=%s)",

@@ -9,8 +9,11 @@ from .qtensor import (
     quantize_q8_0,
 )
 from . import bnb, gguf_quants
+from .isq import isq_quantize_weight, isq_tree
 
 __all__ = [
+    "isq_quantize_weight",
+    "isq_tree",
     "QuantizedTensor",
     "dequantize",
     "pack4",
