@@ -33,7 +33,30 @@ def main():
     ap.add_argument("--impl", choices=["q4", "dense"], default="q4")
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument(
+        "--preset",
+        choices=["schnell-256", "dev-720x1280", "dev-1024-bf16",
+                 "schnell-1024-b8", "dev-2048"],
+        default=None,
+        help="BASELINE.md target configs 1-5",
+    )
     args = ap.parse_args()
+
+    # BASELINE.md §targets: 1 schnell q4 256^2x4; 2 dev q4 720x1280x50;
+    # 3 dev bf16 1024^2x28 (needs >16GB HBM single-chip — mesh/offload);
+    # 4 schnell q4 batch-8 1024^2; 5 dev q4 2048^2 (16k-token attention).
+    PRESETS = {
+        "schnell-256": dict(res=256, batch=1, impl="q4", guidance=False, txt=256),
+        "dev-720x1280": dict(res=(720, 1280), batch=1, impl="q4", guidance=True, txt=512),
+        "dev-1024-bf16": dict(res=1024, batch=1, impl="dense", guidance=True, txt=512),
+        "schnell-1024-b8": dict(res=1024, batch=8, impl="q4", guidance=False, txt=256),
+        "dev-2048": dict(res=2048, batch=1, impl="q4", guidance=True, txt=512),
+    }
+    preset = PRESETS.get(args.preset)
+    if preset:
+        args.res = preset["res"]
+        args.batch = preset["batch"]
+        args.impl = preset["impl"]
 
     import jax
 
@@ -65,10 +88,14 @@ def main():
             num_attention_heads=4, num_layers=2, num_single_layers=4,
             guidance_embeds=True, hidden_size=128, axes_dim=(8, 12, 12),
         )
-        res, txt_len = 256, 64
+        res, txt_len = (256, 256), 64
     else:
-        cfg = FluxConfig(guidance_embeds=True)  # FLUX.1-dev dims
-        res, txt_len = args.res, 512
+        guidance = preset["guidance"] if preset else True
+        cfg = FluxConfig(guidance_embeds=guidance)  # FLUX.1 dims
+        res = args.res
+        txt_len = preset["txt"] if preset else 512
+    if isinstance(res, int):
+        res = (res, res)
 
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
@@ -78,7 +105,7 @@ def main():
         params = init_flux_params(key, cfg, dtype)
 
     b = args.batch
-    h2 = w2 = (res + 15) // 16
+    h2, w2 = (res[0] + 15) // 16, (res[1] + 15) // 16
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     img = jax.random.normal(ks[0], (b, h2 * w2, cfg.in_channels), dtype)
     txt = jax.random.normal(ks[1], (b, txt_len, cfg.joint_attention_dim), dtype)
@@ -106,7 +133,9 @@ def main():
 
     print(
         json.dumps({
-            "metric": f"FLUX.1-dev {res}x{res} {args.impl} images/sec/chip (28 steps, p50 step {p50*1e3:.1f} ms, batch {b})",
+            "metric": f"FLUX.1{'-dev' if cfg.guidance_embeds else '-schnell'} "
+            f"{res[0]}x{res[1]} {args.impl} images/sec/chip "
+            f"(28 steps, p50 step {p50*1e3:.1f} ms, batch {b})",
             "value": round(images_per_sec_chip, 5),
             "unit": "images/sec/chip",
             "vs_baseline": 1.0,

@@ -2,6 +2,11 @@
 mesh construction, GSPMD tensor/data-parallel sharding rules, host-DRAM
 offload."""
 
-from .mesh import batch_sharding, make_mesh, replicated  # noqa: F401
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated,
+    sequence_sharding,
+)
 from .sharding import replicate_params, shard_params  # noqa: F401
 from .offload import HostOffload  # noqa: F401

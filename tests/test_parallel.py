@@ -46,7 +46,9 @@ def setup():
 
 def test_mesh_construction():
     mesh = make_mesh(dp=2, tp=4)
-    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert mesh.shape == {"dp": 2, "sp": 1, "tp": 4}
+    mesh3 = make_mesh(dp=2, sp=2, tp=2)
+    assert mesh3.shape == {"dp": 2, "sp": 2, "tp": 2}
 
 
 def test_column_row_specs(setup):
@@ -86,6 +88,23 @@ def test_dp_tp_matches_single_device(setup):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     img_s = jax.device_put(img, NamedSharding(mesh, P("dp")))
+    with jax.sharding.set_mesh(mesh):
+        out = jax.jit(
+            lambda p, i: flux_forward(p, CFG, i, txt, t, y, None, txt_ids, img_ids)
+        )(sharded, img_s)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sequence_parallel_matches_single_device(setup):
+    """Context parallelism: image tokens sharded over sp; GSPMD inserts the
+    K/V all-gathers. Numerics must match the unsharded run."""
+    from diffusion_rs_tpu.parallel import sequence_sharding
+
+    params, args, ref = setup
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    sharded = shard_params(params, mesh)
+    img, txt, t, y, txt_ids, img_ids = args
+    img_s = jax.device_put(img, sequence_sharding(mesh))
     with jax.sharding.set_mesh(mesh):
         out = jax.jit(
             lambda p, i: flux_forward(p, CFG, i, txt, t, y, None, txt_ids, img_ids)
