@@ -103,6 +103,12 @@ def main():
         params = init_flux_params_quantized(key, cfg, dtype)
     else:
         params = init_flux_params(key, cfg, dtype)
+    import os
+
+    if not os.environ.get("DIFFUSION_RS_TPU_NO_FUSE"):
+        from diffusion_rs_tpu.models.optimize import fuse_flux_qkv
+
+        params = fuse_flux_qkv(params)
 
     b = args.batch
     h2, w2 = (res[0] + 15) // 16, (res[1] + 15) // 16
@@ -120,8 +126,21 @@ def main():
         return img + pred * (-1.0 / 28.0)
 
     # compile + warmup
-    img = step(params, img)
-    img.block_until_ready()
+    try:
+        img = step(params, img)
+        img.block_until_ready()
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e):
+            # e.g. dev-1024-bf16: 24GB of bf16 weights need a v5e-8 mesh or
+            # host offload — out of scope for a single-chip bench run.
+            print(json.dumps({
+                "metric": f"FLUX.1 {res[0]}x{res[1]} {args.impl}: exceeds single-chip HBM (needs mesh/offload)",
+                "value": 0.0,
+                "unit": "images/sec/chip",
+                "vs_baseline": 0.0,
+            }))
+            return 0
+        raise
     times = []
     for _ in range(args.steps):
         t0 = time.perf_counter()

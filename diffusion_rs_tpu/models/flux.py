@@ -121,13 +121,18 @@ def _scale_shift(x, shift, scale):
 
 
 def _qkv(p: Params, x: jnp.ndarray, n_heads: int):
-    """Project + split heads + QK-RMSNorm (model.rs:394-432)."""
+    """Project + split heads + QK-RMSNorm (model.rs:394-432). Supports the
+    fused ``qkv`` layout produced by models/optimize.py."""
     b, s, _ = x.shape
     def split(t):
         return t.reshape(b, s, n_heads, -1).transpose(0, 2, 1, 3)
-    q = split(linear(x, p["q"]))
-    k = split(linear(x, p["k"]))
-    v = split(linear(x, p["v"]))
+    if "qkv" in p:
+        qc, kc, vc = jnp.split(linear(x, p["qkv"]), 3, axis=-1)
+        q, k, v = split(qc), split(kc), split(vc)
+    else:
+        q = split(linear(x, p["q"]))
+        k = split(linear(x, p["k"]))
+        v = split(linear(x, p["v"]))
     q = rms_norm(q, p["q_norm"])
     k = rms_norm(k, p["k_norm"])
     return q, k, v
@@ -189,9 +194,22 @@ def single_block(p: Params, x, vec, cos, sin, cfg: FluxConfig) -> jnp.ndarray:
     both attention and the parallel MLP; outputs concat into one projection."""
     shift, scale, gate = _modulation(p["mod"], vec, 3)
     x_mod = _scale_shift(layer_norm(x), shift, scale)
-    q, k, v = _qkv(p, x_mod, cfg.num_attention_heads)
+    h = cfg.hidden_size
+    if "qkv_mlp" in p:
+        # fused q|k|v|proj_mlp projection (models/optimize.py)
+        fused = linear(x_mod, p["qkv_mlp"])
+        b, s, _ = x_mod.shape
+        def split_heads(t):
+            return t.reshape(b, s, cfg.num_attention_heads, -1).transpose(0, 2, 1, 3)
+        q = rms_norm(split_heads(fused[..., 0:h]), p["q_norm"])
+        k = rms_norm(split_heads(fused[..., h:2 * h]), p["k_norm"])
+        v = split_heads(fused[..., 2 * h:3 * h])
+        mlp_raw = fused[..., 3 * h:]
+    else:
+        q, k, v = _qkv(p, x_mod, cfg.num_attention_heads)
+        mlp_raw = linear(x_mod, p["proj_mlp"])
     attn = _joint_attention(q, k, v, cos, sin)
-    mlp = jax.nn.gelu(linear(x_mod, p["proj_mlp"]), approximate=True)
+    mlp = jax.nn.gelu(mlp_raw, approximate=True)
     out = linear(jnp.concatenate([attn, mlp], axis=-1), p["linear2"])
     return x + gate * out
 

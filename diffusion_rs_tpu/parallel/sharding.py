@@ -27,7 +27,10 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # out-feature (column) parallel linears
-COL_KEYS = frozenset({"q", "k", "v", "in", "fc1", "proj_mlp", "wi", "wi_0", "wi_1"})
+COL_KEYS = frozenset(
+    {"q", "k", "v", "qkv", "qkv_mlp", "in", "fc1", "proj_mlp", "wi",
+     "wi_0", "wi_1"}
+)
 # in-feature (row) parallel linears
 ROW_KEYS = frozenset({"proj", "out", "o", "linear2", "fc2", "wo"})
 

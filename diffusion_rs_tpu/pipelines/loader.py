@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 from typing import Optional
 
 import jax
@@ -166,6 +167,14 @@ def load_pipeline(
             flux_params = isq_tree(flux_params, isq)
             if not silent:
                 log.info("applied ISQ (%s) to transformer linears", isq)
+        if not os.environ.get("DIFFUSION_RS_TPU_NO_FUSE"):
+            from ..models.optimize import fuse_flux_qkv
+
+            try:
+                flux_params = fuse_flux_qkv(flux_params)
+            except ValueError as e:
+                if not silent:
+                    log.info("qkv fusion skipped: %s", e)
     if not silent:
         log.info(
             "loaded FLUX transformer (%d double + %d single blocks, guidance=%s)",

@@ -165,6 +165,41 @@ def dequantize(qt: QuantizedTensor, dtype=None) -> jax.Array:
     return w.reshape(lead + (k, n)).astype(dtype)
 
 
+def concat_n(tensors) -> "QuantizedTensor":
+    """Concatenate canonical tensors along the OUT-feature (N) axis.
+
+    Exact: every plane (packed/scale/bias) is column-independent in the
+    canonical layout, so fusing linears (e.g. q|k|v -> qkv) is a pure layout
+    transform. All meta fields must agree.
+    """
+    first = tensors[0]
+    for t in tensors[1:]:
+        if (t.kind, t.bits, t.group, t.split, t.k, t.out_dtype) != (
+            first.kind, first.bits, first.group, first.split, first.k,
+            first.out_dtype,
+        ):
+            raise ValueError("concat_n requires identical quantization meta")
+    packed = jnp.concatenate([t.packed for t in tensors], axis=-1)
+    scale = jnp.concatenate([t.scale for t in tensors], axis=-1)
+    bias = (
+        jnp.concatenate([t.bias for t in tensors], axis=-1)
+        if first.bias is not None else None
+    )
+    n_total = sum(t.n for t in tensors)
+    return QuantizedTensor(
+        packed=packed,
+        scale=scale,
+        bias=bias,
+        codebook=first.codebook,
+        kind=first.kind,
+        bits=first.bits,
+        group=first.group,
+        split=first.split,
+        shape=(first.k, n_total),
+        out_dtype=first.out_dtype,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Simple quantizers (numpy; used by tests, ISQ, and random-weight benches)
 # ---------------------------------------------------------------------------
