@@ -105,7 +105,7 @@ def main():
         params = init_flux_params(key, cfg, dtype)
     import os
 
-    if not os.environ.get("DIFFUSION_RS_TPU_NO_FUSE"):
+    if os.environ.get("DIFFUSION_RS_TPU_FUSE"):
         from diffusion_rs_tpu.models.optimize import fuse_flux_qkv
 
         params = fuse_flux_qkv(params)

@@ -80,10 +80,16 @@ class Pipeline:
         offloading: Optional[Offloading] = None,
         dtype: ModelDType = ModelDType.Auto,
         isq: Optional[str] = None,
+        mesh=None,
     ):
         """``isq``: in-situ-quantize dense transformer linears at load
         ("q4_0" | "q8_0" | "q4_k" | "q6_k" | "nf4") — IsqType equivalent
-        (diffusion_rs_backend/src/lib.rs:88-149)."""
+        (diffusion_rs_backend/src/lib.rs:88-149).
+
+        ``mesh``: a jax.sharding.Mesh (see parallel.make_mesh) — weights are
+        placed tensor-parallel over its "tp" axis and prompts are batched
+        data-parallel over "dp". The reference is single-device
+        (SURVEY.md §2.8); this is the TPU scale-out path."""
         from .loader import load_pipeline  # deferred: heavy imports
 
         self._inner = load_pipeline(
@@ -94,6 +100,7 @@ class Pipeline:
             offloading=offloading,
             dtype=dtype,
             isq=isq,
+            mesh=mesh,
         )
 
     def forward(

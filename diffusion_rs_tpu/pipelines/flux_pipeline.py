@@ -64,6 +64,7 @@ class FluxPipeline:
         clip_tokenizer,
         dtype=jnp.bfloat16,
         offload=None,
+        mesh=None,
         silent: bool = False,
     ):
         self.flux_params = flux_params
@@ -79,7 +80,16 @@ class FluxPipeline:
         self.clip_tokenizer = clip_tokenizer
         self.dtype = dtype
         self.offload = offload
+        self.mesh = mesh
         self.silent = silent
+        if mesh is not None and mesh.size > 1:
+            # Pallas kernels have no GSPMD partitioning rule yet; multichip
+            # runs use the XLA attention/dequant paths (shard_map ring
+            # attention is the planned upgrade).
+            import os
+
+            os.environ.setdefault("DIFFUSION_RS_TPU_NO_FLASH", "1")
+            os.environ.setdefault("DIFFUSION_RS_TPU_NO_QMM", "1")
         if offload is not None:
             offload.register("t5", t5_params)
             offload.register("clip", clip_params)
@@ -146,6 +156,17 @@ class FluxPipeline:
 
     def forward_arrays(self, prompts: List[str], params) -> np.ndarray:
         """Returns u8 NHWC images [B, H, W, 3]."""
+        import contextlib
+
+        ctx = (
+            jax.sharding.set_mesh(self.mesh)
+            if self.mesh is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            return self._forward_arrays(prompts, params)
+
+    def _forward_arrays(self, prompts: List[str], params) -> np.ndarray:
         t5_len = T5_LEN_DEV if self.flux_cfg.guidance_embeds else T5_LEN_SCHNELL
         t5_ids = tokenize_and_pad(prompts, self.t5_tokenizer, pad_to=t5_len)
         clip_ids = tokenize_and_pad(prompts, self.clip_tokenizer)
@@ -178,6 +199,10 @@ class FluxPipeline:
         seed = params.seed if params.seed is not None else int(time.time_ns() % (1 << 31))
         key = jax.random.PRNGKey(seed)
         noise = get_noise(key, len(prompts), params.height, params.width)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            noise = jax.device_put(noise, NamedSharding(self.mesh, P("dp")))
         guidance = (
             jnp.full((len(prompts),), params.guidance_scale, jnp.float32)
             if self.flux_cfg.guidance_embeds

@@ -103,6 +103,25 @@ def test_offloading_full_matches_resident(ckpt, pipe):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mesh_sharded_pipeline_matches(ckpt, pipe):
+    """End-to-end generation under a dp2 x tp4 mesh must equal single-device
+    output (GSPMD tensor/data parallel; reference has no multi-device path)."""
+    import jax
+    from diffusion_rs_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = Pipeline(ModelSource.from_model_id(str(ckpt)), silent=True, mesh=mesh)
+    a = sharded.forward_images(["a photo", "a dog"], PARAMS)
+    b = pipe.forward_images(["a photo", "a dog"], PARAMS)
+    for x, y_ in zip(a, b):
+        diff = np.abs(np.asarray(x, np.float32) - np.asarray(y_, np.float32))
+        # f32 reduction-order drift compounds over the denoise scan; images
+        # must stay visually identical (tiny mean/max drift in u8 space).
+        assert diff.mean() < 1.0 and diff.max() <= 16, (diff.mean(), diff.max())
+
+
 def test_quantized_close_to_dense(tmp_path):
     """nf4 transformer output stays close to the dense one (same seed/weights
     modulo quantization) — the moral equivalent of the reference's 0.02
