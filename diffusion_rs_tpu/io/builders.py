@@ -10,7 +10,7 @@ uniformly-quantized checkpoints, which is what bnb/gguf produce).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ from ..models.clip import ClipTextConfig
 from ..models.flux import FluxConfig
 from ..models.t5 import T5Config
 from ..models.vae import VAEConfig
-from .varstore import VarStore, VarStoreView
+from .varstore import VarStore
 
 
 def stack_trees(trees: List):

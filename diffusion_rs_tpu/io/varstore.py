@@ -15,7 +15,7 @@ point, the moral equivalent of the reference's `load_name` upload
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Union
+from typing import Dict, Union
 
 import numpy as np
 import jax.numpy as jnp

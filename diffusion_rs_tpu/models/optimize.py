@@ -10,8 +10,6 @@ transform — outputs are bit-identical columns of the fused result.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,6 @@ accumulator; x·w runs in x.dtype (bf16) on the MXU with f32 accumulation.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

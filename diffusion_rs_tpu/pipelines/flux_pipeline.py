@@ -16,9 +16,8 @@ too, with jax.device_put as the swap primitive.
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -75,14 +75,27 @@ def denoise_scan(
     ``step_fn(img_f32, t_scalar) -> pred`` (the model call); ``sigmas`` has
     num_steps+1 entries. Carry is f32.
     """
+    import os
+
     img = img.astype(jnp.float32)
     t_curr = sigmas[:-1]
     t_prev = sigmas[1:]
+    n_steps = int(t_curr.shape[0])
+    # Optional per-step progress (the reference renders a bar per denoise
+    # step, pipelines/sampling.rs:37 — a host sync per step; off by default
+    # because it breaks the zero-round-trip scan).
+    report = bool(os.environ.get("DIFFUSION_RS_TPU_PROGRESS"))
 
-    def body(carry, ts):
-        tc, tp = ts
+    def body(carry, xs):
+        i, tc, tp = xs
         pred = step_fn(carry, tc)
+        if report:
+            jax.debug.callback(
+                lambda i_, t_: print(f"denoise step {int(i_) + 1}/{n_steps} (t={float(t_):.3f})"),
+                i, tc, ordered=True,
+            )
         return carry + pred.astype(jnp.float32) * (tp - tc), None
 
-    out, _ = jax.lax.scan(body, img, (t_curr, t_prev))
+    steps = jnp.arange(n_steps)
+    out, _ = jax.lax.scan(body, img, (steps, t_curr, t_prev))
     return out
