@@ -17,12 +17,16 @@ from typing import Optional, Sequence
 class Offloading(enum.Enum):
     """Memory-capacity scaling mode (pipelines/mod.rs:72-78).
 
-    The reference swaps whole components between host and device. On TPU this
-    maps to host-DRAM weight residency with device streaming; see
-    diffusion_rs_tpu/parallel/offload.py.
+    ``Full`` mirrors the reference: whole components swap between host and
+    device around their use. ``Stream`` is the TPU-native extension: the
+    transformer's weights stay in host RAM and each block is DMA'd one block
+    ahead of compute (double-buffered), so models larger than one chip's HBM
+    (e.g. FLUX bf16, 24 GB) still run single-chip
+    (models/flux_streaming.py).
     """
 
     Full = "full"
+    Stream = "stream"
 
 
 class ModelDType(enum.Enum):

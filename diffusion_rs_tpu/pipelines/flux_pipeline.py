@@ -64,6 +64,7 @@ class FluxPipeline:
         dtype=jnp.bfloat16,
         offload=None,
         mesh=None,
+        streamed=None,
         silent: bool = False,
     ):
         self.flux_params = flux_params
@@ -80,6 +81,7 @@ class FluxPipeline:
         self.dtype = dtype
         self.offload = offload
         self.mesh = mesh
+        self.streamed = streamed
         self.silent = silent
         if mesh is not None and mesh.size > 1:
             # Pallas kernels have no GSPMD partitioning rule yet; multichip
@@ -92,7 +94,8 @@ class FluxPipeline:
         if offload is not None:
             offload.register("t5", t5_params)
             offload.register("clip", clip_params)
-            offload.register("flux", flux_params)
+            if flux_params is not None:
+                offload.register("flux", flux_params)
             offload.register("vae", vae_params)
         self._encode_jit = jax.jit(self._encode)
         self._denoise_jit = jax.jit(
@@ -139,6 +142,17 @@ class FluxPipeline:
                 (jnp.clip(img_out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5,
                 0, 255,
             ).astype(jnp.uint8)  # NHWC
+
+    def _denoise_streamed(self, txt, y, sigmas, guidance, noise):
+        """Per-block weight-streaming denoise (Offloading.Stream): weights
+        live in host RAM; see models/flux_streaming.py."""
+        bs = txt.shape[0]
+        img = pack_latents(noise.astype(self.dtype))
+        h2, w2 = noise.shape[2] // 2, noise.shape[3] // 2
+        pe = compute_pe(
+            self.flux_cfg, make_txt_ids(bs, txt.shape[1]), make_img_ids(bs, h2, w2)
+        )
+        return self.streamed.denoise(img, txt, y, guidance, pe, sigmas)
 
     # -- component residency (offload seams) ----------------------------------
 
@@ -207,13 +221,16 @@ class FluxPipeline:
             if self.flux_cfg.guidance_embeds
             else None
         )
-        latent = self._denoise_jit(
-            self._component("flux", self.flux_params),
-            txt, y, sigmas, guidance, noise,
-            height=params.height, width=params.width,
-        )
-        latent.block_until_ready()
-        self._release("flux")
+        if self.streamed is not None:
+            latent = self._denoise_streamed(txt, y, sigmas, guidance, noise)
+        else:
+            latent = self._denoise_jit(
+                self._component("flux", self.flux_params),
+                txt, y, sigmas, guidance, noise,
+                height=params.height, width=params.width,
+            )
+            latent.block_until_ready()
+            self._release("flux")
 
         out = self._decode_jit(
             self._component("vae", self.vae_params),

@@ -103,10 +103,11 @@ def load_pipeline(
 
     offload = None
     build_ctx = contextlib.nullcontext()
-    if offloading is Offloading.Full:
+    if offloading in (Offloading.Full, Offloading.Stream):
         from ..parallel.offload import HostOffload
 
-        offload = HostOffload()
+        if offloading is Offloading.Full:
+            offload = HostOffload()
         cpus = jax.devices("cpu")
         if cpus:
             build_ctx = jax.default_device(cpus[0])
@@ -185,7 +186,18 @@ def load_pipeline(
             flux_cfg.num_layers, flux_cfg.num_single_layers, flux_cfg.guidance_embeds,
         )
 
+    streamed = None
+    if offloading is Offloading.Stream:
+        from ..models.flux_streaming import StreamedFlux
+
+        streamed = StreamedFlux(flux_params, flux_cfg)
+        flux_params = None  # host copies live inside StreamedFlux
+        if not silent:
+            log.info("transformer weights host-resident (per-block streaming)")
+
     if mesh is not None:
+        if streamed is not None:
+            raise ValueError("mesh and Offloading.Stream are mutually exclusive")
         from ..parallel import replicate_params, shard_params
 
         # FLUX + T5 get tensor-parallel shards; CLIP/VAE are small -> replicate.
@@ -198,6 +210,7 @@ def load_pipeline(
 
     return FluxPipeline(
         mesh=mesh,
+        streamed=streamed,
         flux_params=flux_params,
         flux_cfg=flux_cfg,
         t5_params=t5_params,

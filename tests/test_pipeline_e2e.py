@@ -103,6 +103,21 @@ def test_offloading_full_matches_resident(ckpt, pipe):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_streamed_offload_matches_resident(ckpt, pipe):
+    """Offloading.Stream (per-block weight streaming) must match the
+    resident path numerically (same jitted block math, different residency)."""
+    from diffusion_rs_tpu import Offloading
+
+    streamed = Pipeline(
+        ModelSource.from_model_id(str(ckpt)), silent=True,
+        offloading=Offloading.Stream,
+    )
+    a = streamed.forward_images(["a photo"], PARAMS)[0]
+    b = pipe.forward_images(["a photo"], PARAMS)[0]
+    diff = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+    assert diff.mean() < 1.0 and diff.max() <= 16, (diff.mean(), diff.max())
+
+
 def test_mesh_sharded_pipeline_matches(ckpt, pipe):
     """End-to-end generation under a dp2 x tp4 mesh must equal single-device
     output (GSPMD tensor/data parallel; reference has no multi-device path)."""
