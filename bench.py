@@ -99,7 +99,15 @@ def main():
 
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
-    if args.impl == "q4" and not args.small:
+    stream_weights = args.preset == "dev-1024-bf16"
+    if stream_weights:
+        args.impl = "bf16-streamed"
+        # 24GB bf16 > single-chip HBM: host-resident weights, per-block
+        # streaming (models/flux_streaming.py).
+        cpus = jax.devices("cpu")
+        with jax.default_device(cpus[0]):
+            params = init_flux_params(key, cfg, dtype)
+    elif args.impl == "q4" and not args.small:
         params = init_flux_params_quantized(key, cfg, dtype)
     else:
         params = init_flux_params(key, cfg, dtype)
@@ -120,10 +128,19 @@ def main():
     t = jnp.full((b,), 0.7, jnp.float32)
     guidance = jnp.full((b,), 3.5, jnp.float32)
 
-    @jax.jit
-    def step(params, img):
-        pred = flux_forward(params, cfg, img, txt, t, y, guidance, pe=pe)
-        return img + pred * (-1.0 / 28.0)
+    if stream_weights:
+        from diffusion_rs_tpu.models.flux_streaming import StreamedFlux
+
+        sf = StreamedFlux(params, cfg)
+        img = img.astype(jnp.float32)
+
+        def step(_params, img):
+            return sf.step(img, txt, 0.7, 0.7 - 1.0 / 28.0, y, guidance, pe)
+    else:
+        @jax.jit
+        def step(params, img):
+            pred = flux_forward(params, cfg, img, txt, t, y, guidance, pe=pe)
+            return img + pred * (-1.0 / 28.0)
 
     # compile + warmup
     try:

@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override source for the transformer (quantized repo)")
     p.add_argument("--scale", type=float, default=3.5, help="guidance scale")
     p.add_argument("--num-steps", type=int, default=50)
-    p.add_argument("--offloading", choices=["full"], default=None)
+    p.add_argument("--offloading", choices=["full", "stream"], default=None)
     p.add_argument("--dtype", choices=["auto", "bf16", "f16", "f32"], default="auto")
     p.add_argument("--isq", choices=["q4_0", "q8_0", "q4_k", "q6_k", "nf4"],
                    default=None, help="in-situ quantize dense transformer linears")
@@ -69,7 +69,7 @@ def main(argv=None) -> int:
         silent=args.silent,
         token=args.token,
         revision=args.revision,
-        offloading=Offloading.Full if args.offloading == "full" else None,
+        offloading={"full": Offloading.Full, "stream": Offloading.Stream}.get(args.offloading),
         dtype=ModelDType(args.dtype),
         isq=args.isq,
     )
