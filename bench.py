@@ -103,17 +103,23 @@ def main():
     if stream_weights:
         args.impl = "bf16-streamed"
         # 24GB bf16 > single-chip HBM: host-resident weights, per-block
-        # streaming (models/flux_streaming.py).
+        # streaming. One random block tree is reused for every layer (same
+        # bytes transferred/computed; skips 24GB of host RNG).
         cpus = jax.devices("cpu")
         with jax.default_device(cpus[0]):
-            params = init_flux_params(key, cfg, dtype)
+            one = init_flux_params(key, FluxConfig(
+                guidance_embeds=cfg.guidance_embeds,
+                num_layers=1, num_single_layers=1,
+            ), dtype)
+        params = None
+        stream_parts = one
     elif args.impl == "q4" and not args.small:
         params = init_flux_params_quantized(key, cfg, dtype)
     else:
         params = init_flux_params(key, cfg, dtype)
     import os
 
-    if os.environ.get("DIFFUSION_RS_TPU_FUSE"):
+    if params is not None and os.environ.get("DIFFUSION_RS_TPU_FUSE"):
         from diffusion_rs_tpu.models.optimize import fuse_flux_qkv
 
         params = fuse_flux_qkv(params)
@@ -131,7 +137,38 @@ def main():
     if stream_weights:
         from diffusion_rs_tpu.models.flux_streaming import StreamedFlux
 
-        sf = StreamedFlux(params, cfg)
+        import numpy as _np
+        import ml_dtypes as _mld
+
+        one = stream_parts
+        host_rng = _np.random.default_rng(0)
+        # One shared random pool; every leaf is a view at a random offset.
+        # Distinct buffers + distinct bytes per layer (so nothing can be
+        # deduped/cached), ~zero RNG cost. Bit pattern keeps bf16 tiny
+        # (~1e-9) so 57 layers don't overflow; timing is value-independent.
+        pool_elems = 80_000_000
+        pool = host_rng.integers(0, 1 << 16, size=pool_elems, dtype=_np.uint16)
+        pool = (pool & _np.uint16(0x07FF)) | _np.uint16(0x3000)
+        pool = pool.view(_mld.bfloat16)
+
+        def rand_like(a):
+            n = int(_np.prod(a.shape[1:])) if a.ndim > 1 else a.size
+            off = int(host_rng.integers(0, pool_elems - n))
+            return pool[off : off + n].reshape(a.shape[1:])
+
+        def host_block(tree):
+            return jax.tree.map(rand_like, tree)
+
+        dbls = [host_block(one["double"]) for _ in range(cfg.num_layers)]
+        sgls = [host_block(one["single"]) for _ in range(cfg.num_single_layers)]
+        pre = {
+            k: one[k]
+            for k in ("img_in", "txt_in", "time_in", "vector_in", "guidance_in")
+            if k in one
+        }
+        sf = StreamedFlux.from_block_trees(
+            pre, one["final"], dbls, sgls, cfg,
+        )
         img = img.astype(jnp.float32)
 
         def step(_params, img):

@@ -60,6 +60,22 @@ class StreamedFlux:
     """Holds host-resident FLUX params and runs denoise steps with
     double-buffered per-block H2D streaming."""
 
+    @classmethod
+    def from_block_trees(cls, pre, final, doubles, singles, cfg: FluxConfig,
+                         device=None):
+        """Construct from per-block host trees directly (benchmarks reuse one
+        random block for all layers to skip 24GB of host RNG)."""
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.device = device or jax.devices()[0]
+        self.pre = pre
+        self.final = final
+        self.doubles = list(doubles)
+        self.singles = list(singles)
+        self.pre_dev = jax.device_put(self.pre, self.device)
+        self.final_dev = jax.device_put(self.final, self.device)
+        return self
+
     def __init__(self, params, cfg: FluxConfig, device=None):
         self.cfg = cfg
         self.device = device or jax.devices()[0]
