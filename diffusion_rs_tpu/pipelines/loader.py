@@ -59,14 +59,27 @@ def _resolve_dtype(dtype: ModelDType):
 
 
 def _component_store(loader: FileLoader, prefix: str, dtype) -> VarStore:
+    """Collect a component's weights: safetensors and/or GGUF files (the
+    reference's GGUF machinery is unreachable from its model factory —
+    SURVEY §2.3; here *.gguf under a component dir loads first-class, with
+    k-quant tensors staying quantized end-to-end)."""
     store = VarStore(default_dtype=dtype)
     n = 0
     for name in loader.list_files():
-        if name.startswith(prefix + "/") and name.endswith(".safetensors"):
+        if not name.startswith(prefix + "/"):
+            continue
+        if name.endswith(".safetensors"):
             store.add_safetensors(loader.safetensors(name))
             n += 1
+        elif name.endswith(".gguf"):
+            from ..io.gguf import GgufFile
+
+            if loader._root is None:
+                raise ValueError("GGUF components require a directory source")
+            store.add_gguf(GgufFile(str(loader._root / name)))
+            n += 1
     if n == 0:
-        raise FileNotFoundError(f"no safetensors under {prefix}/")
+        raise FileNotFoundError(f"no safetensors/gguf under {prefix}/")
     return store
 
 

@@ -162,6 +162,31 @@ def flux_tensors(rng, quant: str | None = None, guidance: bool = False) -> dict:
     return t
 
 
+def flux_gguf_tensors(rng, guidance: bool = False) -> dict:
+    """Transformer weights as GGUF entries (fmt, shape, raw): linears q4_0,
+    biases/norms dense f32 — a gguf-quantized transformer checkpoint."""
+    from diffusion_rs_tpu.quant.gguf_quants import ENCODERS
+
+    t = {}
+    for name, (o, n) in flux_linear_shapes(guidance).items():
+        w = _lin(rng, o, n)
+        if n % 32 == 0:
+            t[f"{name}.weight"] = ("q4_0", (o, n), ENCODERS["q4_0"](w))
+        else:
+            t[f"{name}.weight"] = ("f32", (o, n), w.tobytes())
+        t[f"{name}.bias"] = ("f32", (o,), np.zeros(o, np.float32).tobytes())
+    ones = np.ones(FLUX_HEAD_DIM, np.float32).tobytes()
+    for i in range(FLUX_LAYERS):
+        p = f"transformer_blocks.{i}.attn"
+        for k in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            t[f"{p}.{k}.weight"] = ("f32", (FLUX_HEAD_DIM,), ones)
+    for i in range(FLUX_SINGLE_LAYERS):
+        p = f"single_transformer_blocks.{i}.attn"
+        t[f"{p}.norm_q.weight"] = ("f32", (FLUX_HEAD_DIM,), ones)
+        t[f"{p}.norm_k.weight"] = ("f32", (FLUX_HEAD_DIM,), ones)
+    return t
+
+
 def vae_tensors(rng) -> dict:
     t = {}
 
@@ -284,10 +309,19 @@ def write_checkpoint(
         "num_layers": FLUX_LAYERS, "num_single_layers": FLUX_SINGLE_LAYERS,
         "guidance_embeds": guidance,
     }))
-    save_safetensors(
-        str(root / "transformer/diffusion_pytorch_model.safetensors"),
-        flux_tensors(rng, quant=quant, guidance=guidance),
-    )
+    if quant == "gguf_q4_0":
+        from diffusion_rs_tpu.io.gguf import write_gguf
+
+        write_gguf(
+            str(root / "transformer/diffusion_pytorch_model.gguf"),
+            flux_gguf_tensors(rng, guidance=guidance),
+            metadata={"general.name": "flux-tiny-q4_0"},
+        )
+    else:
+        save_safetensors(
+            str(root / "transformer/diffusion_pytorch_model.safetensors"),
+            flux_tensors(rng, quant=quant, guidance=guidance),
+        )
     (root / "vae/config.json").write_text(json.dumps({
         "_class_name": "AutoencoderKL",
         "in_channels": 3, "out_channels": 3,

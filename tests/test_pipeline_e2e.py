@@ -137,6 +137,17 @@ def test_mesh_sharded_pipeline_matches(ckpt, pipe):
         assert diff.mean() < 1.0 and diff.max() <= 16, (diff.mean(), diff.max())
 
 
+def test_gguf_transformer_checkpoint(tmp_path):
+    """End-to-end with a GGUF-quantized (q4_0) transformer — a capability
+    the reference implements at tensor level but never wires to its model
+    factory (SURVEY §2.3 GgufMatMul note)."""
+    root = write_checkpoint(tmp_path / "gguf", seed=0, quant="gguf_q4_0")
+    pipe = Pipeline(ModelSource.from_model_id(str(root)), silent=True)
+    img = np.asarray(pipe.forward_images(["a cat"], PARAMS)[0])
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img.astype(np.float32)).all()
+
+
 def test_quantized_close_to_dense(tmp_path):
     """nf4 transformer output stays close to the dense one (same seed/weights
     modulo quantization) — the moral equivalent of the reference's 0.02
