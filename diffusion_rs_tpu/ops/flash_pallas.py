@@ -157,4 +157,11 @@ def flash_attention(
         scale = 1.0 / (d ** 0.5)
     block_q = min(block_q, _round_up(q.shape[2], 128))
     block_k = min(block_k, _round_up(k.shape[2], 128))
-    return _flash_call(q, k, v, float(scale), block_q, block_k, interpret)
+    # Route through the custom_partitioning wrapper so batch/head-sharded
+    # inputs under a mesh run the kernel per-shard instead of being
+    # replicated by GSPMD (ops/partitioned.py). Without a mesh this is the
+    # plain kernel call.
+    from .partitioned import make_partitioned_flash
+
+    fa = make_partitioned_flash(float(scale), block_q, block_k, interpret)
+    return fa(q, k, v)

@@ -263,12 +263,19 @@ def quantized_matmul(
         return jnp.matmul(x2, w, preferred_element_type=jnp.float32).astype(
             out_dtype
         ).reshape(*lead, n)
-    # SMEM wants f32 codebook as a (16,) array; scale/bias already dense f32.
-    out = _qmm_call(
-        x2, qt.packed, qt.scale,
-        qt.bias, qt.codebook,
-        bits=qt.bits, group=qt.group, split=qt.split, kn=(k, n),
-        out_dtype=jnp.dtype(out_dtype), interpret=interpret, bm_cap=bm_cap,
-        bn_cap=bn_cap,
+    # Route through the custom_partitioning wrapper: token-dim (dp/sp) and
+    # out-feature (tp, column-parallel) sharded inputs run per-shard.
+    from .partitioned import make_partitioned_qmm
+
+    qmm = make_partitioned_qmm(
+        qt.bits, qt.group, qt.split, (k, n), jnp.dtype(out_dtype),
+        interpret, bm_cap, bn_cap,
+        qt.bias is not None, qt.codebook is not None,
     )
+    args = [x2, qt.packed, qt.scale]
+    if qt.bias is not None:
+        args.append(qt.bias)
+    if qt.codebook is not None:
+        args.append(qt.codebook)
+    out = qmm(*args)
     return out.reshape(*lead, n)

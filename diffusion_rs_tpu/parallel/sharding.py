@@ -71,8 +71,14 @@ def _spec_for(path, leaf, tp_axis: str) -> P:
         # shard the last (out-feature / lane) dim: w [.., K, N], b [.., N],
         # packed/scale/bias [.., K', N]
         return P(*([None] * (nd - 1) + [tp_axis]))
-    # row-parallel: shard the K (second-to-last) dim of 2-D+ planes; biases
-    # and 1-D leaves stay replicated (added after the psum).
+    # row-parallel: shard the K (second-to-last) dim of 2-D+ dense weights
+    # (XLA partitions the dot contraction and inserts the psum); biases and
+    # 1-D leaves stay replicated (added after the psum). Quantized planes
+    # stay replicated: the Pallas qmm partitioning rule keeps K whole
+    # (ops/partitioned.py), so K-sharding them would force an all-gather
+    # per step.
+    if field in ("packed", "scale", "bias"):
+        return P()
     if field == "b" or nd < 2:
         return P()
     return P(*([None] * (nd - 2) + [tp_axis, None]))

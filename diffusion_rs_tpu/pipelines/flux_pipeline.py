@@ -83,14 +83,9 @@ class FluxPipeline:
         self.mesh = mesh
         self.streamed = streamed
         self.silent = silent
-        if mesh is not None and mesh.size > 1:
-            # Pallas kernels have no GSPMD partitioning rule yet; multichip
-            # runs use the XLA attention/dequant paths (shard_map ring
-            # attention is the planned upgrade).
-            import os
-
-            os.environ.setdefault("DIFFUSION_RS_TPU_NO_FLASH", "1")
-            os.environ.setdefault("DIFFUSION_RS_TPU_NO_QMM", "1")
+        # Pallas kernels carry custom_partitioning rules (ops/partitioned.py)
+        # so head/token/column-sharded inputs run per-shard under a mesh;
+        # set DIFFUSION_RS_TPU_NO_FLASH/NO_QMM to force the XLA paths.
         if offload is not None:
             offload.register("t5", t5_params)
             offload.register("clip", clip_params)
