@@ -57,10 +57,19 @@ def sdpa_xla(
 
 
 @functools.lru_cache(None)
-def _flash_available() -> bool:
+def _flash_mode() -> Optional[str]:
+    """None (XLA path), "flash" (Pallas kernel), or "interpret" (Pallas in
+    interpreter mode — lets CPU-mesh tests drive the kernel + its GSPMD/ring
+    rules without hardware). DIFFUSION_RS_TPU_FLASH=interpret|force overrides
+    the backend auto-pick; DIFFUSION_RS_TPU_NO_FLASH disables."""
     if os.environ.get("DIFFUSION_RS_TPU_NO_FLASH"):
-        return False
-    return jax.default_backend() not in ("cpu",)
+        return None
+    forced = os.environ.get("DIFFUSION_RS_TPU_FLASH", "").lower()
+    if forced == "interpret":
+        return "interpret"
+    if forced in ("1", "on", "force"):
+        return "flash"
+    return "flash" if jax.default_backend() not in ("cpu",) else None
 
 
 def sdpa(
@@ -72,18 +81,18 @@ def sdpa(
     softcap: Optional[float] = None,
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Dispatching SDPA. ``impl`` in {None (auto), "flash", "xla"}."""
+    """Dispatching SDPA. ``impl`` in {None (auto), "flash", "interpret",
+    "xla"}."""
     if impl is None:
-        impl = (
-            "flash"
-            if (_flash_available() and bias is None and softcap is None)
-            else "xla"
-        )
-    if impl == "flash":
+        mode = _flash_mode()
+        impl = mode if (mode and bias is None and softcap is None) else "xla"
+    if impl in ("flash", "interpret"):
         from .flash_pallas import flash_attention
 
         try:
-            return flash_attention(q, k, v, scale=scale)
+            return flash_attention(
+                q, k, v, scale=scale, interpret=(impl == "interpret")
+            )
         except NotImplementedError:
             pass
     return sdpa_xla(q, k, v, scale=scale, bias=bias, softcap=softcap)

@@ -36,7 +36,7 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
     *, scale: float, kv_len: int, block_k: int
 ):
     kv_i = pl.program_id(3)
@@ -80,9 +80,14 @@ def _flash_kernel(
     def _finalize():
         l = l_scratch[...][:, :1]
         # Padded q rows can have l == 0; keep them finite (sliced off later).
+        l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scratch[...] * pl.reciprocal(
-            jnp.where(l == 0.0, 1.0, l), approx=False
+            l_safe, approx=False
         )).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # log-sum-exp per q row (lane-replicated, [bq, 128]) — the
+            # residual ring attention needs to merge per-chunk outputs.
+            lse_ref[0, 0] = m_scratch[...] + jnp.log(l_safe)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -90,9 +95,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret", "save_lse"),
 )
-def _flash_call(q, k, v, scale, block_q, block_k, interpret):
+def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     sq_p = _round_up(sq, block_q)
@@ -104,10 +110,27 @@ def _flash_call(q, k, v, scale, block_q, block_k, interpret):
         v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
 
     grid = (b, h, sq_p // block_q, skv_p // block_k)
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
-    )
-    out = pl.pallas_call(
+    if save_lse:
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
+        )
+        out_specs = [
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 128), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _flash_kernel_no_lse, scale=scale, kv_len=skv, block_k=block_k
+        )
+        out_specs = pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -115,10 +138,8 @@ def _flash_call(q, k, v, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -135,9 +156,19 @@ def _flash_call(q, k, v, scale, block_q, block_k, interpret):
         ),
         interpret=interpret,
     )(q, k, v)
+    if save_lse:
+        out, lse = outs
+        if sq_p != sq:
+            out, lse = out[:, :, :sq, :], lse[:, :, :sq, :]
+        return out, lse[..., 0]  # lanes are replicated
+    out = outs
     if sq_p != sq:
         out = out[:, :, :sq, :]
     return out
+
+
+def _flash_kernel_no_lse(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, **kw)
 
 
 def flash_attention(
@@ -149,12 +180,23 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """q, k, v: [B, H, S, D] -> [B, H, Sq, D]. D must be a lane multiple."""
+    """q, k, v: [B, H, S, D] -> [B, H, Sq, D].
+
+    Any head_dim is accepted: D is zero-padded up to the next lane multiple
+    (128) before the kernel — exact for attention (zero Q/K columns add 0 to
+    QK^T; extra V columns are sliced off). The reference's Metal SDPA covers
+    head dims 32-256 (diffusion_rs_backend/src/ops.rs:65-118); this covers
+    all of them (64-dim heads pay 2x lanes, still faster than the XLA path).
+    """
     d = q.shape[-1]
-    if d % 128 != 0:
-        raise NotImplementedError(f"flash_attention requires head_dim % 128 == 0, got {d}")
     if scale is None:
-        scale = 1.0 / (d ** 0.5)
+        scale = 1.0 / (d ** 0.5)  # scale from the TRUE head dim, pre-pad
+    d_p = _round_up(d, 128)
+    if d_p != d:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_p - d))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
     block_q = min(block_q, _round_up(q.shape[2], 128))
     block_k = min(block_k, _round_up(k.shape[2], 128))
     # Route through the custom_partitioning wrapper so batch/head-sharded
@@ -164,4 +206,5 @@ def flash_attention(
     from .partitioned import make_partitioned_flash
 
     fa = make_partitioned_flash(float(scale), block_q, block_k, interpret)
-    return fa(q, k, v)
+    out = fa(q, k, v)
+    return out[..., :d] if d_p != d else out

@@ -5,8 +5,9 @@ replicate the whole computation per device. These wrappers register
 `custom_partitioning` rules:
 
 * flash attention: batch/head dims shard freely (tp shards heads after the
-  column-parallel qkv projections); sequence/head_dim sharding is forced
-  replicated (ring attention over sp is the planned upgrade, ROADMAP #2);
+  column-parallel qkv projections); a sequence-sharded self-attention runs
+  RING attention over the sp axis (k/v chunks rotate via lax.ppermute, lse
+  merge — see :func:`ring_attention`); head_dim stays replicated;
 * quantized matmul: token dim (dp/sp-flattened) and out-feature dim (tp,
   matching the column-parallel weight shards) shard freely; the contraction
   dim K must be replicated.
@@ -20,6 +21,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -28,32 +30,100 @@ def _spec_of(sharding):
     return getattr(sharding, "spec", P())
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def ring_attention(q, k, v, axis_name, axis_size, scale, block_q, block_k,
+                   interpret):
+    """Ring attention over sequence shards (manual-SPMD body).
+
+    q/k/v are the LOCAL shards [b, h, s_local, d] of a self-attention whose
+    sequence axis is sharded over ``axis_name``. Each step attends local q
+    against the currently-held k/v chunk with the flash kernel (returning
+    per-row log-sum-exp), merges into the running output with the standard
+    lse rescaling, then rotates k/v one hop around the ring
+    (``lax.ppermute`` — lowered to ICI collective-permute on TPU, so each
+    chunk transfer overlaps the next chunk's compute via XLA's async pairs).
+    Memory per chip stays O(s_local); no all-gather materializes the 16k-token
+    joint sequence (SURVEY §5 long-context plan; the reference holds the
+    whole sequence on one device, models/flux/model.rs:540-546).
+    """
+    from .flash_pallas import _flash_call
+
+    s_loc = q.shape[2]
+    bq = min(block_q, _round_up(s_loc, 128))
+    bk = min(block_k, _round_up(s_loc, 128))
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    o, lse = _flash_call(q, k, v, scale, bq, bk, interpret, save_lse=True)
+    o = o.astype(jnp.float32)
+
+    def step(carry, _):
+        o, lse, k, v = carry
+        k = jax.lax.ppermute(k, axis_name, perm)
+        v = jax.lax.ppermute(v, axis_name, perm)
+        o_i, lse_i = _flash_call(q, k, v, scale, bq, bk, interpret,
+                                 save_lse=True)
+        lse_new = jnp.logaddexp(lse, lse_i)
+        o = (o * jnp.exp(lse - lse_new)[..., None]
+             + o_i.astype(jnp.float32) * jnp.exp(lse_i - lse_new)[..., None])
+        return (o, lse_new, k, v), None
+
+    (o, _, _, _), _ = jax.lax.scan(
+        step, (o, lse, k, v), None, length=axis_size - 1
+    )
+    return o.astype(q.dtype)
+
+
 @functools.lru_cache(None)
 def make_partitioned_flash(scale: float, block_q: int, block_k: int,
                            interpret: bool = False):
-    """A flash-attention callable with a head/batch GSPMD rule."""
+    """Flash attention with a GSPMD rule: batch/head dims shard freely; a
+    sequence-sharded q (sp axis) runs RING attention with k/v kept sharded
+    (self-attention only: q and kv seq lengths must match and divide the
+    axis). Anything else falls back to seq-replicated per-shard kernels."""
     from .flash_pallas import _flash_call
 
     @custom_partitioning
     def fa(q, k, v):
         return _flash_call(q, k, v, scale, block_q, block_k, interpret)
 
-    def _sharding_for(mesh, q_sharding):
-        spec = _spec_of(q_sharding)
-        bh = tuple(spec) + (None,) * (4 - len(tuple(spec)))
-        return NamedSharding(mesh, P(bh[0], bh[1], None, None))
+    def _q_spec(arg_shapes):
+        spec = tuple(_spec_of(arg_shapes[0].sharding))
+        return spec + (None,) * (4 - len(spec))
 
     def infer(mesh, arg_shapes, result_shape):
-        q_sh = arg_shapes[0].sharding
-        return _sharding_for(mesh, q_sh)
+        b_ax, h_ax, s_ax, _ = _q_spec(arg_shapes)
+        return NamedSharding(mesh, P(b_ax, h_ax, s_ax, None))
 
     def partition(mesh, arg_shapes, result_shape):
-        q_sh = _sharding_for(mesh, arg_shapes[0].sharding)
+        b_ax, h_ax, s_ax, _ = _q_spec(arg_shapes)
+        sq = arg_shapes[0].shape[2]
+        skv = arg_shapes[1].shape[2]
+        ring_ok = (
+            s_ax is not None
+            and not isinstance(s_ax, tuple)
+            and sq == skv
+            and sq % mesh.shape[s_ax] == 0
+        )
+        if ring_ok:
+            n = mesh.shape[s_ax]
+            sh = NamedSharding(mesh, P(b_ax, h_ax, s_ax, None))
+
+            def impl(q, k, v):
+                return ring_attention(
+                    q, k, v, s_ax, n, scale, block_q, block_k, interpret
+                )
+
+            return mesh, impl, sh, (sh, sh, sh)
+
+        sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
 
         def impl(q, k, v):
             return _flash_call(q, k, v, scale, block_q, block_k, interpret)
 
-        return mesh, impl, q_sh, (q_sh, q_sh, q_sh)
+        return mesh, impl, sh, (sh, sh, sh)
 
     fa.def_partition(
         infer_sharding_from_operands=infer,
