@@ -52,18 +52,27 @@ class Linear:
 
 
 @functools.lru_cache(None)
-def _use_pallas_qmm() -> bool:
+def _qmm_mode():
+    """None (XLA dequant+dot), "flash" (Pallas kernel) or "interpret" (Pallas
+    interpreter — CPU-mesh tests). DIFFUSION_RS_TPU_QMM=interpret|force
+    overrides the backend auto-pick; DIFFUSION_RS_TPU_NO_QMM disables."""
     if os.environ.get("DIFFUSION_RS_TPU_NO_QMM"):
-        return False
-    return jax.default_backend() not in ("cpu",)
+        return None
+    forced = os.environ.get("DIFFUSION_RS_TPU_QMM", "").lower()
+    if forced == "interpret":
+        return "interpret"
+    if forced in ("1", "on", "force"):
+        return "flash"
+    return "flash" if jax.default_backend() not in ("cpu",) else None
 
 
 def linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
     """``y = x @ w + b`` with automatic quantized dispatch. x: [..., K]."""
     w = lin.w
     if isinstance(w, QuantizedTensor):
-        if _use_pallas_qmm() and supports(w):
-            y = quantized_matmul(x, w)
+        mode = _qmm_mode()
+        if mode and supports(w):
+            y = quantized_matmul(x, w, interpret=(mode == "interpret"))
         else:
             wd = dequantize(w, x.dtype)
             y = jnp.matmul(x, wd, preferred_element_type=jnp.float32).astype(
