@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", choices=["auto", "bf16", "f16", "f32"], default="auto")
     p.add_argument("--isq", choices=["q4_0", "q8_0", "q4_k", "q6_k", "nf4"],
                    default=None, help="in-situ quantize dense transformer linears")
+    p.add_argument("--imatrix", default=None, metavar="FILE",
+                   help="importance-matrix file (llama.cpp format) for "
+                        "error-minimizing --isq; keys are dotted param paths")
     p.add_argument("--token", default=None)
     p.add_argument("--revision", default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -72,6 +75,7 @@ def main(argv=None) -> int:
         offloading={"full": Offloading.Full, "stream": Offloading.Stream}.get(args.offloading),
         dtype=ModelDType(args.dtype),
         isq=args.isq,
+        imatrix=args.imatrix,
     )
 
     def generate(prompt: str, height: int, width: int, out_path: str):

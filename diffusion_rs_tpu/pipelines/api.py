@@ -84,11 +84,15 @@ class Pipeline:
         offloading: Optional[Offloading] = None,
         dtype: ModelDType = ModelDType.Auto,
         isq: Optional[str] = None,
+        imatrix: Optional[str] = None,
         mesh=None,
     ):
         """``isq``: in-situ-quantize dense transformer linears at load
         ("q4_0" | "q8_0" | "q4_k" | "q6_k" | "nf4") — IsqType equivalent
-        (diffusion_rs_backend/src/lib.rs:88-149).
+        (diffusion_rs_backend/src/lib.rs:88-149). ``imatrix``: path to a
+        llama.cpp-format importance-matrix file; with ``isq`` set, matched
+        linears get importance-weighted (error-minimizing) quantization
+        (quantize_imatrix equivalent, quantized/mod.rs:110).
 
         ``mesh``: a jax.sharding.Mesh (see parallel.make_mesh) — weights are
         placed tensor-parallel over its "tp" axis and prompts are batched
@@ -104,6 +108,7 @@ class Pipeline:
             offloading=offloading,
             dtype=dtype,
             isq=isq,
+            imatrix=imatrix,
             mesh=mesh,
         )
 

@@ -91,6 +91,7 @@ def load_pipeline(
     offloading: Optional[Offloading] = None,
     dtype: ModelDType = ModelDType.Auto,
     isq: Optional[str] = None,
+    imatrix: Optional[str] = None,
     mesh=None,
 ) -> FluxPipeline:
     loader = FileLoader(
@@ -179,9 +180,17 @@ def load_pipeline(
         if isq:
             from ..quant.isq import isq_tree
 
-            flux_params = isq_tree(flux_params, isq)
+            imat = None
+            if imatrix:
+                from ..io.imatrix import load_imatrix
+
+                imat = load_imatrix(imatrix)
+            flux_params = isq_tree(flux_params, isq, imatrix=imat)
             if not silent:
-                log.info("applied ISQ (%s) to transformer linears", isq)
+                log.info(
+                    "applied ISQ (%s%s) to transformer linears", isq,
+                    ", imatrix-weighted" if imat else "",
+                )
         # qkv fusion is opt-in: inside one jit graph XLA already pipelines
         # the separate projections, and the fused variant measured ~6% slower
         # at 1024^2 (the wide-output split outweighs saved dispatches).

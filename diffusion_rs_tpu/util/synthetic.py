@@ -48,6 +48,46 @@ def random_qtensor(
     )
 
 
+def init_t5_params_quantized(key, cfg, dtype=jnp.bfloat16):
+    """T5 encoder params with every block linear nf4-quantized (the Q4 DDUF
+    recipe quantizes text_encoder_2 alongside the transformer). Embedding,
+    relative-position bias and norms stay dense."""
+    L = cfg.num_layers
+    inner = cfg.num_heads * cfg.d_kv
+    keys = iter(jax.random.split(key, 16))
+
+    def qlin(k_in, n_out):
+        return Linear(w=random_qtensor(next(keys), k_in, n_out, stack=L), b=None)
+
+    ff = (
+        {"wi_0": qlin(cfg.d_model, cfg.d_ff), "wi_1": qlin(cfg.d_model, cfg.d_ff),
+         "wo": qlin(cfg.d_ff, cfg.d_model)}
+        if cfg.gated_act
+        else {"wi": qlin(cfg.d_model, cfg.d_ff), "wo": qlin(cfg.d_ff, cfg.d_model)}
+    )
+    return {
+        "shared": (jax.random.normal(
+            next(keys), (cfg.vocab_size, cfg.d_model), jnp.float32
+        ) * cfg.d_model ** -0.5).astype(dtype),
+        "rel_bias": jax.random.normal(
+            next(keys), (cfg.relative_attention_num_buckets, cfg.num_heads),
+            jnp.float32,
+        ).astype(dtype),
+        "blocks": {
+            "attn": {
+                "q": qlin(cfg.d_model, inner),
+                "k": qlin(cfg.d_model, inner),
+                "v": qlin(cfg.d_model, inner),
+                "o": qlin(inner, cfg.d_model),
+            },
+            "attn_norm": jnp.ones((L, cfg.d_model), dtype),
+            "ff": ff,
+            "ff_norm": jnp.ones((L, cfg.d_model), dtype),
+        },
+        "final_norm": jnp.ones((cfg.d_model,), dtype),
+    }
+
+
 def init_flux_params_quantized(key, cfg, dtype=jnp.bfloat16):
     """FLUX params with every linear nf4-quantized (Q4 bench configs).
     Norm scales stay dense; biases are zeros."""

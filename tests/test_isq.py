@@ -50,6 +50,56 @@ def test_isq_linear_forward_close(rng):
     assert rel <= 0.12, rel
 
 
+@pytest.mark.parametrize("target", ["q4_0", "q8_0", "q4_k", "nf4"])
+def test_imatrix_weighted_beats_unweighted(rng, target):
+    """Importance-weighted ISQ must reduce the importance-weighted error on
+    importance-skewed data (quantize_imatrix equivalent, k_quants.rs:846)."""
+    k, n = 512, 256
+    w = (rng.standard_normal((k, n)) * 0.03).astype(np.float32)
+    # skewed importance: a few input features dominate the activations
+    imp = np.full(k, 0.01, np.float32)
+    imp[rng.choice(k, 32, replace=False)] = 10.0
+    plain = np.asarray(dequantize(isq_quantize_weight(w, target), jnp.float32))
+    weighted = np.asarray(
+        dequantize(isq_quantize_weight(w, target, imatrix=imp), jnp.float32)
+    )
+
+    def werr(w_hat):
+        return float((imp[:, None] * (w - w_hat) ** 2).sum())
+
+    assert werr(weighted) < werr(plain), (target, werr(weighted), werr(plain))
+
+
+def test_imatrix_tree_lookup(rng):
+    """isq_tree matches imatrix vectors by dotted path, incl. per-layer keys
+    for stacked blocks; weighted result differs from unweighted."""
+    from diffusion_rs_tpu.quant.isq import isq_tree as _tree
+
+    w = jnp.asarray(rng.standard_normal((2, 512, 512)) * 0.03, jnp.float32)
+    tree = {"double": {"img_attn": {"q": Linear(w=w, b=None)}}}
+    imp = np.full(512, 0.01, np.float32)
+    imp[:32] = 10.0
+    imat = {"double.0.img_attn.q.weight": imp}  # layer 0 only, .weight suffix
+    out_w = _tree(tree, "q8_0", imatrix=imat)
+    out_p = _tree(tree, "q8_0")
+    s_w = np.asarray(out_w["double"]["img_attn"]["q"].w.scale)
+    s_p = np.asarray(out_p["double"]["img_attn"]["q"].w.scale)
+    assert not np.allclose(s_w[0], s_p[0])   # layer 0 refined
+    np.testing.assert_array_equal(s_w[1], s_p[1])  # layer 1 untouched
+
+
+def test_imatrix_roundtrip_feeds_isq(rng, tmp_path):
+    """load_imatrix output plugs straight into isq_quantize_weight."""
+    from diffusion_rs_tpu.io.imatrix import load_imatrix, save_imatrix
+
+    imp = np.abs(rng.standard_normal(512)).astype(np.float32) + 0.1
+    save_imatrix(str(tmp_path / "m.imatrix"), {"lin.weight": imp}, ncall=16)
+    loaded = load_imatrix(str(tmp_path / "m.imatrix"))
+    w = (rng.standard_normal((512, 256)) * 0.03).astype(np.float32)
+    qt = isq_quantize_weight(w, "q4_0", imatrix=loaded["lin.weight"])
+    assert np.isfinite(np.asarray(dequantize(qt, jnp.float32))).all()
+
+
 def test_sdpa_softcap(rng):
     """softcapping parity: tanh(s/cap)*cap (backend/src/ops.rs:247-262)."""
     from diffusion_rs_tpu.ops import sdpa
