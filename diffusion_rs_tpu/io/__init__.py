@@ -5,6 +5,7 @@ weight registry, key-mapped param builders, tokenizers, and file sources
 from .safetensors import SafeTensors  # noqa: F401
 from .dduf import DdufFile  # noqa: F401
 from .gguf import GgufFile, write_gguf  # noqa: F401
+from .ggml import GgmlFile, write_ggml  # noqa: F401
 from .varstore import VarStore, VarStoreView  # noqa: F401
 from .source import FileLoader, resolve_token  # noqa: F401
 from .builders import (  # noqa: F401

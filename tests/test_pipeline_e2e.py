@@ -103,6 +103,34 @@ def test_offloading_full_matches_resident(ckpt, pipe):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_offloading_full_with_mesh_keeps_sharding(ckpt, pipe):
+    """mesh + Offloading.Full: HostOffload must restore each component to
+    its ORIGINAL mesh sharding (not collapse onto device 0), and the output
+    must match the plain single-device run (ADVICE r1 medium)."""
+    import jax
+    from diffusion_rs_tpu import Offloading
+    from diffusion_rs_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(dp=2, tp=4)
+    off = Pipeline(
+        ModelSource.from_model_id(str(ckpt)), silent=True,
+        offloading=Offloading.Full, mesh=mesh,
+    )
+    # the restored transformer must be mesh-sharded (tensor-parallel)
+    inner = off._inner
+    flux = inner.offload.resident("flux")
+    qw = flux["double"]["img_attn"]["q"].w
+    assert "tp" in str(qw.sharding.spec), qw.sharding.spec
+    inner.offload.release("flux")
+    a = off.forward_images(["a photo", "a dog"], PARAMS)
+    b = pipe.forward_images(["a photo", "a dog"], PARAMS)
+    for x, y_ in zip(a, b):
+        diff = np.abs(np.asarray(x, np.float32) - np.asarray(y_, np.float32))
+        assert diff.mean() < 1.0 and diff.max() <= 16, (diff.mean(), diff.max())
+
+
 def test_streamed_offload_matches_resident(ckpt, pipe):
     """Offloading.Stream (per-block weight streaming) must match the
     resident path numerically (same jitted block math, different residency)."""
