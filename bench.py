@@ -42,7 +42,8 @@ PRESETS = {
     "schnell-256": dict(res=256, batch=1, impl="q4", guidance=False, txt=256, steps=4),
     "dev-720x1280": dict(res=(720, 1280), batch=1, impl="q4", guidance=True, txt=512, steps=50),
     "dev-1024-bf16": dict(res=1024, batch=1, impl="dense", guidance=True, txt=512, steps=28),
-    "schnell-1024-b8": dict(res=1024, batch=8, impl="q4", guidance=False, txt=256, steps=4),
+    "schnell-1024-b8": dict(res=1024, batch=8, impl="q4", guidance=False,
+                            txt=256, steps=4, offload_encoders=True),
     "dev-2048": dict(res=2048, batch=1, impl="q4", guidance=True, txt=512, steps=28),
 }
 
@@ -125,18 +126,37 @@ def bench_image(args, preset) -> int:
         vae_cfg = VAEConfig()
         res = preset["res"] if preset else args.res
         steps = args.steps_image or (preset["steps"] if preset else 28)
+        offload_enc = bool(preset and preset.get("offload_encoders"))
+        import contextlib
+
+        # big-batch config: encoders live in host RAM and swap in around the
+        # encode stage, freeing HBM for the batch-8 denoise + decode
+        enc_ctx = (
+            jax.default_device(jax.devices("cpu")[0])
+            if offload_enc else contextlib.nullcontext()
+        )
         if (preset["impl"] if preset else args.impl) == "q4":
             flux_params = init_flux_params_quantized(ks[0], flux_cfg, dtype)
-            t5_params = init_t5_params_quantized(ks[1], t5_cfg, dtype)
+            with enc_ctx:
+                t5_params = init_t5_params_quantized(ks[1], t5_cfg, dtype)
         else:
             flux_params = init_flux_params(ks[0], flux_cfg, dtype)
-            t5_params = init_t5_params(ks[1], t5_cfg, dtype)
+            with enc_ctx:
+                t5_params = init_t5_params(ks[1], t5_cfg, dtype)
     if isinstance(res, int):
         res = (res, res)
     b = preset["batch"] if preset else args.batch
     impl = (preset["impl"] if preset else args.impl) if not args.small else "dense-small"
 
-    clip_params = init_clip_params(ks[2], clip_cfg, dtype)
+    offload = None
+    if not args.small and preset and preset.get("offload_encoders"):
+        from diffusion_rs_tpu.parallel.offload import HostOffload
+
+        offload = HostOffload(only=("t5", "clip"))
+        with jax.default_device(jax.devices("cpu")[0]):
+            clip_params = init_clip_params(ks[2], clip_cfg, dtype)
+    else:
+        clip_params = init_clip_params(ks[2], clip_cfg, dtype)
     vae_params = init_vae_params(ks[3], vae_cfg, dtype)
 
     pipe = FluxPipeline(
@@ -147,7 +167,7 @@ def bench_image(args, preset) -> int:
         scheduler=SchedulerConfig(use_dynamic_shifting=flux_cfg.guidance_embeds),
         t5_tokenizer=_WordTokenizer(t5_cfg.vocab_size),
         clip_tokenizer=_WordTokenizer(clip_cfg.vocab_size),
-        dtype=dtype, silent=True,
+        dtype=dtype, offload=offload, silent=True,
     )
     prompts = [f"a photo of test subject {i}" for i in range(b)]
 

@@ -103,6 +103,17 @@ def test_offloading_full_matches_resident(ckpt, pipe):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_chunked_vae_decode_matches(pipe, monkeypatch):
+    """Chunked batch decode (peak-memory control for big batches) is exact:
+    per-sample VAE decode is batch-independent."""
+    prompts = ["a photo", "a dog", "a tree"]
+    full = pipe.forward_images(prompts, PARAMS)
+    monkeypatch.setenv("DIFFUSION_RS_TPU_DECODE_CHUNK", "1")
+    chunked = pipe.forward_images(prompts, PARAMS)
+    for a, b in zip(full, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_offloading_full_with_mesh_keeps_sharding(ckpt, pipe):
     """mesh + Offloading.Full: HostOffload must restore each component to
     its ORIGINAL mesh sharding (not collapse onto device 0), and the output
@@ -174,6 +185,102 @@ def test_gguf_transformer_checkpoint(tmp_path):
     img = np.asarray(pipe.forward_images(["a cat"], PARAMS)[0])
     assert img.shape == (64, 64, 3)
     assert np.isfinite(img.astype(np.float32)).all()
+
+
+def _diffusers_to_bfl(st) -> dict:
+    """Rename a tiny synth transformer's tensors to the original BFL layout
+    (fused qkv / linear1, swapped final-AdaLN halves) — what city96-style
+    single-file FLUX GGUFs contain."""
+    t = {n: np.asarray(st.numpy(n)) for n in st.keys()}
+    out = {}
+
+    def mv(src, dst):
+        for s in (".weight", ".bias"):
+            if src + s in t:
+                out[dst + s] = t[src + s]
+
+    def fuse(srcs, dst):
+        # torch [out, in]: fuse along the OUT rows
+        out[dst + ".weight"] = np.concatenate(
+            [t[s + ".weight"] for s in srcs], axis=0
+        )
+        out[dst + ".bias"] = np.concatenate([t[s + ".bias"] for s in srcs])
+
+    mv("x_embedder", "img_in")
+    mv("context_embedder", "txt_in")
+    mv("time_text_embed.timestep_embedder.linear_1", "time_in.in_layer")
+    mv("time_text_embed.timestep_embedder.linear_2", "time_in.out_layer")
+    mv("time_text_embed.text_embedder.linear_1", "vector_in.in_layer")
+    mv("time_text_embed.text_embedder.linear_2", "vector_in.out_layer")
+    mv("time_text_embed.guidance_embedder.linear_1", "guidance_in.in_layer")
+    mv("time_text_embed.guidance_embedder.linear_2", "guidance_in.out_layer")
+    mv("proj_out", "final_layer.linear")
+    # swap (scale, shift) -> (shift, scale) halves along the out rows
+    w = t["norm_out.linear.weight"]
+    h = w.shape[0] // 2
+    out["final_layer.adaLN_modulation.1.weight"] = np.concatenate(
+        [w[h:], w[:h]], axis=0
+    )
+    b = t["norm_out.linear.bias"]
+    out["final_layer.adaLN_modulation.1.bias"] = np.concatenate([b[h:], b[:h]])
+    i = 0
+    while f"transformer_blocks.{i}.norm1.linear.weight" in t:
+        p, q = f"transformer_blocks.{i}", f"double_blocks.{i}"
+        mv(f"{p}.norm1.linear", f"{q}.img_mod.lin")
+        mv(f"{p}.norm1_context.linear", f"{q}.txt_mod.lin")
+        fuse([f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v"],
+             f"{q}.img_attn.qkv")
+        fuse([f"{p}.attn.add_q_proj", f"{p}.attn.add_k_proj",
+              f"{p}.attn.add_v_proj"], f"{q}.txt_attn.qkv")
+        mv(f"{p}.attn.to_out.0", f"{q}.img_attn.proj")
+        mv(f"{p}.attn.to_add_out", f"{q}.txt_attn.proj")
+        mv(f"{p}.ff.net.0.proj", f"{q}.img_mlp.0")
+        mv(f"{p}.ff.net.2", f"{q}.img_mlp.2")
+        mv(f"{p}.ff_context.net.0.proj", f"{q}.txt_mlp.0")
+        mv(f"{p}.ff_context.net.2", f"{q}.txt_mlp.2")
+        out[f"{q}.img_attn.norm.query_norm.scale"] = t[f"{p}.attn.norm_q.weight"]
+        out[f"{q}.img_attn.norm.key_norm.scale"] = t[f"{p}.attn.norm_k.weight"]
+        out[f"{q}.txt_attn.norm.query_norm.scale"] = t[f"{p}.attn.norm_added_q.weight"]
+        out[f"{q}.txt_attn.norm.key_norm.scale"] = t[f"{p}.attn.norm_added_k.weight"]
+        i += 1
+    i = 0
+    while f"single_transformer_blocks.{i}.proj_out.weight" in t:
+        p, q = f"single_transformer_blocks.{i}", f"single_blocks.{i}"
+        fuse([f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v",
+              f"{p}.proj_mlp"], f"{q}.linear1")
+        mv(f"{p}.proj_out", f"{q}.linear2")
+        mv(f"{p}.norm.linear", f"{q}.modulation.lin")
+        out[f"{q}.norm.query_norm.scale"] = t[f"{p}.attn.norm_q.weight"]
+        out[f"{q}.norm.key_norm.scale"] = t[f"{p}.attn.norm_k.weight"]
+        i += 1
+    return out
+
+
+def test_bfl_gguf_single_file_transformer(ckpt, pipe, tmp_path):
+    """Single-file GGUF transformer with original BFL tensor names
+    (ROADMAP r1 #7): config derived from the keys, fused qkv/linear1 layouts
+    map onto the model's fused paths, final-AdaLN halves un-swapped. Output
+    must match the diffusers-named checkpoint bit-for-bit (same f32 values,
+    pure renames/fusions)."""
+    from diffusion_rs_tpu.io import SafeTensors, write_gguf
+
+    st = SafeTensors.from_file(
+        str(ckpt / "transformer" / "diffusion_pytorch_model.safetensors")
+    )
+    bfl = _diffusers_to_bfl(st)
+    gguf_path = tmp_path / "flux-bfl.gguf"
+    write_gguf(
+        str(gguf_path),
+        {n: ("f32", a.shape, np.ascontiguousarray(a).tobytes())
+         for n, a in bfl.items()},
+    )
+    bfl_pipe = Pipeline(
+        ModelSource.from_model_id(str(ckpt), str(gguf_path)), silent=True
+    )
+    a = np.asarray(bfl_pipe.forward_images(["a photo"], PARAMS)[0])
+    b = np.asarray(pipe.forward_images(["a photo"], PARAMS)[0])
+    diff = np.abs(a.astype(np.float32) - b.astype(np.float32))
+    assert diff.mean() < 1.0 and diff.max() <= 16, (diff.mean(), diff.max())
 
 
 def test_quantized_close_to_dense(tmp_path):
