@@ -44,7 +44,8 @@ PRESETS = {
     "dev-1024-bf16": dict(res=1024, batch=1, impl="dense", guidance=True, txt=512, steps=28),
     "schnell-1024-b8": dict(res=1024, batch=8, impl="q4", guidance=False,
                             txt=256, steps=4, offload_encoders=True),
-    "dev-2048": dict(res=2048, batch=1, impl="q4", guidance=True, txt=512, steps=28),
+    "dev-2048": dict(res=2048, batch=1, impl="q4", guidance=True, txt=512,
+                     steps=28, offload_encoders=True),
 }
 
 
