@@ -153,12 +153,23 @@ def _clamp_f16(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def t5_encode(params: Params, cfg: T5Config, input_ids: jnp.ndarray) -> jnp.ndarray:
+def t5_encode(
+    params: Params, cfg: T5Config, input_ids: jnp.ndarray,
+    mask_pads: bool = False,
+) -> jnp.ndarray:
     """T5EncoderModel::forward (t5/mod.rs:633-656): embed -> blocks -> final
-    RMSNorm. No padding mask, matching the reference (pads attend fully)."""
+    RMSNorm.
+
+    ``mask_pads=False`` matches the reference bug-for-bug (pads attend
+    fully); ``mask_pads=True`` masks pad keys (id 0) out of attention like
+    upstream diffusers — matters for dev's 512-token context
+    (DIFFUSION_RS_TPU_T5_MASK_PADS=1 enables it pipeline-wide)."""
     x = params["shared"][input_ids]
     s = x.shape[1]
     bias = position_bias(params, cfg, s, s).astype(jnp.float32)
+    if mask_pads:
+        key_is_pad = (input_ids == 0)[:, None, None, :]  # [B,1,1,S]
+        bias = bias + jnp.where(key_is_pad, -1e9, 0.0).astype(jnp.float32)
 
     def body(carry, bp):
         return t5_block(bp, carry, bias, cfg), None

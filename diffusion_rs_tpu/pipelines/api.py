@@ -65,6 +65,11 @@ class DiffusionGenerationParams:
     guidance_scale: float = 3.5
     seed: Optional[int] = None  # reference noise is unseeded (flux/sampling.rs:13);
     #                             we expose an explicit PRNG seed instead.
+    max_sequence_length: Optional[int] = None  # T5 context pad length; default
+    #                             is the variant's (512 dev / 256 schnell —
+    #                             flux/mod.rs:243-253 keys this on the model,
+    #                             we additionally honor an explicit override
+    #                             like upstream diffusers' max_sequence_length)
 
 
 class Pipeline:

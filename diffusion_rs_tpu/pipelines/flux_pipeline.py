@@ -101,9 +101,14 @@ class FluxPipeline:
     # -- jitted stages --------------------------------------------------------
 
     def _encode(self, t5_params, clip_params, t5_ids, clip_ids):
+        import os
+
         dt = self.dtype
+        mask_pads = os.environ.get("DIFFUSION_RS_TPU_T5_MASK_PADS") == "1"
         with trace_span("text-encode"):
-            txt = t5_encode(t5_params, self.t5_cfg, t5_ids).astype(dt)
+            txt = t5_encode(
+                t5_params, self.t5_cfg, t5_ids, mask_pads=mask_pads
+            ).astype(dt)
             _, y = clip_encode(clip_params, self.clip_cfg, clip_ids)
         return txt, y.astype(dt)
 
@@ -177,7 +182,13 @@ class FluxPipeline:
             return self._forward_arrays(prompts, params)
 
     def _forward_arrays(self, prompts: List[str], params) -> np.ndarray:
-        t5_len = T5_LEN_DEV if self.flux_cfg.guidance_embeds else T5_LEN_SCHNELL
+        # T5 context: the variant default (512 dev / 256 schnell-hard-cap,
+        # flux/mod.rs:243-253) unless the caller passes max_sequence_length
+        # (diffusers-compatible override). The schnell cap stays a hard error
+        # inside tokenize_and_pad.
+        t5_len = getattr(params, "max_sequence_length", None) or (
+            T5_LEN_DEV if self.flux_cfg.guidance_embeds else T5_LEN_SCHNELL
+        )
         t5_ids = tokenize_and_pad(prompts, self.t5_tokenizer, pad_to=t5_len)
         clip_ids = tokenize_and_pad(prompts, self.clip_tokenizer)
         if clip_ids.shape[1] > CLIP_MAX_LEN:

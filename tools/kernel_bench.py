@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Kernel microbenchmarks on the live TPU: fused dequant-matmul (qmm) and
+flash attention, with tile-size sweeps. In-graph repeats amortize dispatch.
+
+Usage:
+  python tools/kernel_bench.py qmm   [--m 4608] [--k 3072] [--n 3072] [--kind nf4]
+  python tools/kernel_bench.py sweep [--m 4608] [--k 3072] [--n 3072]
+  python tools/kernel_bench.py flash [--b 1] [--h 24] [--s 4608] [--d 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, iters=20, warmup=3):
+    for _ in range(warmup):
+        fn(*args).block_until_ready()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn(*args).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def bench_qmm(args):
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_rs_tpu.quant import bnb
+    from diffusion_rs_tpu.quant.qtensor import quantize_q4_0, quantize_q8_0
+    from diffusion_rs_tpu.ops.qmatmul_pallas import _qmm_call
+
+    rng = np.random.default_rng(0)
+    m, k, n = args.m, args.k, args.n
+    w = (rng.standard_normal((k, n)) * 0.02).astype(np.float32)
+    if args.kind == "nf4":
+        qt = bnb.quantize_nf4(np.ascontiguousarray(w.T), blocksize=64)
+    elif args.kind == "q4_0":
+        qt = quantize_q4_0(w)
+    else:
+        qt = quantize_q8_0(w)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    planes = [jnp.asarray(qt.packed), jnp.asarray(qt.scale)]
+    if qt.bias is not None:
+        planes.append(jnp.asarray(qt.bias))
+    if qt.codebook is not None:
+        planes.append(jnp.asarray(qt.codebook))
+
+    flops = 2.0 * m * k * n
+
+    assert k == n, "qmm bench chains y back into x; needs K == N"
+
+    def run(bm_cap, bn_cap, reps=8):
+        bias_i = 2 if qt.bias is not None else None
+        cb_i = -1 if qt.codebook is not None else None
+
+        @jax.jit
+        def f(x, *pl_):
+            y = x
+            for _ in range(reps):  # chained: defeats CSE, amortizes dispatch
+                y = _qmm_call(
+                    y, pl_[0], pl_[1],
+                    pl_[bias_i] if bias_i is not None else None,
+                    pl_[cb_i] if cb_i is not None else None,
+                    bits=qt.bits, group=qt.group, split=qt.split,
+                    kn=qt.shape, out_dtype=jnp.dtype(jnp.bfloat16),
+                    interpret=False, bm_cap=bm_cap, bn_cap=bn_cap,
+                )
+            return y
+
+        t = _timeit(f, x, *planes) / reps
+        return flops / t / 1e12
+
+    if args.cmd == "sweep":
+        for bm_cap in (768, 1536, 2304, 4608):
+            for bn_cap in (256, 512, 1024):
+                try:
+                    tf = run(bm_cap, bn_cap)
+                    print(f"{args.kind} M{m} K{k} N{n} bm{bm_cap} bn{bn_cap}: {tf:.1f} TFLOP/s")
+                except Exception as e:
+                    print(f"bm{bm_cap} bn{bn_cap}: FAIL {str(e)[:80]}")
+    else:
+        tf = run(args.bm, args.bn)
+        print(f"{args.kind} M{m} K{k} N{n} bm{args.bm} bn{args.bn}: {tf:.1f} TFLOP/s")
+
+
+def bench_flash(args):
+    import jax.numpy as jnp
+    import jax
+
+    from diffusion_rs_tpu.ops.flash_pallas import _flash_call
+
+    rng = np.random.default_rng(0)
+    b, h, s, d = args.b, args.h, args.s, args.d
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    flops = 4.0 * b * h * s * s * d
+
+    def f(q):
+        return _flash_call(q, q, q, float(d ** -0.5), args.bq, args.bk, False)
+
+    t = _timeit(jax.jit(f), q)
+    print(f"flash B{b} H{h} S{s} D{d} bq{args.bq} bk{args.bk}: {flops/t/1e12:.1f} TFLOP/s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["qmm", "sweep", "flash"])
+    ap.add_argument("--m", type=int, default=4608)
+    ap.add_argument("--k", type=int, default=3072)
+    ap.add_argument("--n", type=int, default=3072)
+    ap.add_argument("--kind", choices=["nf4", "q4_0", "q8_0"], default="nf4")
+    ap.add_argument("--bm", type=int, default=1536)
+    ap.add_argument("--bn", type=int, default=512)
+    ap.add_argument("--b", type=int, default=1)
+    ap.add_argument("--h", type=int, default=24)
+    ap.add_argument("--s", type=int, default=4608)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--bq", type=int, default=512)
+    ap.add_argument("--bk", type=int, default=1536)
+    args = ap.parse_args()
+    if args.cmd == "flash":
+        bench_flash(args)
+    else:
+        bench_qmm(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
