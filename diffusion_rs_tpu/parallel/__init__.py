@@ -10,3 +10,8 @@ from .mesh import (  # noqa: F401
 )
 from .sharding import replicate_params, shard_params  # noqa: F401
 from .offload import HostOffload  # noqa: F401
+from .multihost import (  # noqa: F401
+    init_multihost,
+    local_batch_to_global,
+    make_multislice_mesh,
+)
