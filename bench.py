@@ -35,6 +35,15 @@ import time
 
 R1_BASELINE_IMG_PER_S = 0.0538  # BENCH_r01.json (step-derived, 28 steps)
 
+# Round-1 measured p50 step latencies per BASELINE config (BENCH.md r1) —
+# preset runs report vs_baseline as the step-time speedup vs these.
+R1_STEP_MS = {
+    "schnell-256": 134.0,
+    "dev-720x1280": 687.0,
+    "schnell-1024-b8": 5630.0,
+    "dev-2048": 3760.0,
+}
+
 # BASELINE.md targets: 1 schnell q4 256^2x4; 2 dev q4 720x1280x50;
 # 3 dev bf16 1024^2x28 (>16GB HBM single-chip — streamed); 4 schnell q4
 # batch-8 1024^2; 5 dev q4 2048^2 (16k-token attention).
@@ -200,6 +209,7 @@ def bench_image(args, preset) -> int:
         }))
         return 0
     t_few = timed_image(few, args.iters) if few < steps else None
+    step_s = None
     if t_few is not None:
         step_s = (t_full - t_few) / (steps - few)
         overhead_s = max(0.0, t_few - few * step_s)
@@ -209,6 +219,17 @@ def bench_image(args, preset) -> int:
         detail = "single-timing"
     images_per_sec_chip = b / t_full
 
+    # vs_baseline: north star compares whole-image img/s to the r1 recorded
+    # number; presets compare derived step time to their r1 BENCH.md row.
+    if args.small:
+        vs = 1.0
+    elif args.preset is None:
+        vs = images_per_sec_chip / R1_BASELINE_IMG_PER_S
+    elif step_s and R1_STEP_MS.get(args.preset):
+        vs = R1_STEP_MS[args.preset] / (step_s * 1e3)
+    else:
+        vs = 1.0
+
     variant = "-dev" if flux_cfg.guidance_embeds else "-schnell"
     print(json.dumps({
         "metric": f"FLUX.1{variant} {res[0]}x{res[1]} {impl} WHOLE-IMAGE "
@@ -216,7 +237,7 @@ def bench_image(args, preset) -> int:
                   f"decode, image {t_full:.2f} s, {detail}, batch {b})",
         "value": round(images_per_sec_chip, 5),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec_chip / R1_BASELINE_IMG_PER_S, 4),
+        "vs_baseline": round(vs, 4),
     }))
     return 0
 
@@ -356,6 +377,8 @@ def bench_step(args, preset) -> int:
         times.append(time.perf_counter() - t0)
     p50 = statistics.median(times)
     images_per_sec_chip = b / (28.0 * p50)
+    r1 = R1_STEP_MS.get(args.preset)
+    vs = (r1 / (p50 * 1e3)) if (r1 and not args.small) else 1.0
 
     print(
         json.dumps({
@@ -364,7 +387,7 @@ def bench_step(args, preset) -> int:
             f"(transformer step only; 28 steps, p50 step {p50*1e3:.1f} ms, batch {b})",
             "value": round(images_per_sec_chip, 5),
             "unit": "images/sec/chip",
-            "vs_baseline": round(images_per_sec_chip / R1_BASELINE_IMG_PER_S, 4),
+            "vs_baseline": round(vs, 4),
         })
     )
     return 0
