@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-steps", type=int, default=50)
     p.add_argument("--offloading", choices=["full", "stream"], default=None)
     p.add_argument("--dtype", choices=["auto", "bf16", "f16", "f32"], default="auto")
-    p.add_argument("--isq", choices=["q4_0", "q8_0", "q4_k", "q6_k", "nf4"],
+    p.add_argument("--isq", choices=["q4_0", "q8_0", "q4_k", "q6_k", "nf4", "q8t"],
                    default=None, help="in-situ quantize dense transformer linears")
     p.add_argument("--imatrix", default=None, metavar="FILE",
                    help="importance-matrix file (llama.cpp format) for "

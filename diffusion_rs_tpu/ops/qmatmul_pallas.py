@@ -83,7 +83,7 @@ def _dequant_tile(packed, scale, bias, codebook, *, bits, group, bk, bn, out_dty
 
 def _qmm_kernel(
     x_ref, packed_ref, scale_ref, bias_ref, cb_ref, o_ref, acc_ref,
-    *, bits, group, bk, bn, has_bias, has_cb
+    *, bits, group, bk, bn, has_bias, has_cb, s8_act=False
 ):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -92,22 +92,36 @@ def _qmm_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    codebook = cb_ref if has_cb else None
-    # scale/bias arrive pre-tiled as [k_tiles, rows_per_tile, bn] blocks.
-    w = _dequant_tile(
-        packed_ref[...],
-        scale_ref[0],
-        bias_ref[0] if has_bias else None,
-        codebook,
-        bits=bits,
-        group=group,
-        bk=bk,
-        bn=bn,
-        out_dtype=x_ref.dtype,
-    )
-    acc_ref[...] += jax.lax.dot(
-        x_ref[...], w, preferred_element_type=jnp.float32
-    )
+    if s8_act:
+        # s8 x s8 MXU path ("q8t" format: ONE weight scale per K-tile
+        # column). Activations are symmetric-int8-quantized per row per
+        # K-tile in VMEM; the integer dot runs at the MXU's int8 rate and
+        # one [bm,1]x[1,bn] rescale folds both scales into the f32 acc.
+        x = x_ref[...].astype(jnp.float32)
+        ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # [bm, 1]
+        sx = jnp.where(ax == 0.0, 1.0, ax / 127.0)
+        xq = jnp.round(x / sx).astype(jnp.int8)
+        prod = jax.lax.dot(
+            xq, packed_ref[...], preferred_element_type=jnp.int32
+        )
+        acc_ref[...] += prod.astype(jnp.float32) * (sx * scale_ref[0][0][None, :])
+    else:
+        codebook = cb_ref if has_cb else None
+        # scale/bias arrive pre-tiled as [k_tiles, rows_per_tile, bn] blocks.
+        w = _dequant_tile(
+            packed_ref[...],
+            scale_ref[0],
+            bias_ref[0] if has_bias else None,
+            codebook,
+            bits=bits,
+            group=group,
+            bk=bk,
+            bn=bn,
+            out_dtype=x_ref.dtype,
+        )
+        acc_ref[...] += jax.lax.dot(
+            x_ref[...], w, preferred_element_type=jnp.float32
+        )
 
     @pl.when(ki == nk - 1)
     def _done():
@@ -153,10 +167,10 @@ def supports(qt: QuantizedTensor, n_pad_ok: bool = True) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group", "split", "kn", "out_dtype", "interpret",
-                     "bm_cap", "bn_cap"),
+                     "bm_cap", "bn_cap", "s8_act"),
 )
 def _qmm_call(x, packed, scale, bias, codebook, *, bits, group, split, kn,
-              out_dtype, interpret, bm_cap, bn_cap):
+              out_dtype, interpret, bm_cap, bn_cap, s8_act=False):
     k, n = kn
     m = x.shape[0]
     bk = split if bits == 4 else min(256, k)
@@ -217,7 +231,7 @@ def _qmm_call(x, packed, scale, bias, codebook, *, bits, group, split, kn,
         _qmm_kernel(
             x_ref, packed_ref, scale_ref, bias_ref, cb_ref, o_ref, acc_ref,
             bits=bits, group=group, bk=bk, bn=bn,
-            has_bias=has_bias, has_cb=has_cb,
+            has_bias=has_bias, has_cb=has_cb, s8_act=s8_act,
         )
 
     out = pl.pallas_call(
@@ -267,10 +281,16 @@ def quantized_matmul(
     # out-feature (tp, column-parallel) sharded inputs run per-shard.
     from .partitioned import make_partitioned_qmm
 
+    # "q8t" (per-K-tile scales) runs the s8 x s8 MXU path: the scale group
+    # equals the kernel K-tile so one rescale per tile is exact.
+    s8_act = (
+        qt.kind == "q8t" and qt.bits == 8 and qt.bias is None
+        and qt.codebook is None and qt.group == min(256, k)
+    )
     qmm = make_partitioned_qmm(
         qt.bits, qt.group, qt.split, (k, n), jnp.dtype(out_dtype),
         interpret, bm_cap, bn_cap,
-        qt.bias is not None, qt.codebook is not None,
+        qt.bias is not None, qt.codebook is not None, s8_act,
     )
     args = [x2, qt.packed, qt.scale]
     if qt.bias is not None:

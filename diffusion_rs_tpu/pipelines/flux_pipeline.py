@@ -276,8 +276,11 @@ class FluxPipeline:
         elif self.mesh is not None:
             chunk = n  # sharded over dp; per-chip batch is already small
         else:
+            # ~1M decoded pixels per chunk: one 1024^2 sample peaks at
+            # ~2-3GB of upsampled feature maps, and the transformer weights
+            # are still resident — keep decode peak within a chip's headroom
             px = ((params.height + 15) // 16 * 16) * ((params.width + 15) // 16 * 16)
-            chunk = max(1, (4 << 20) // max(1, px))
+            chunk = max(1, (1 << 20) // max(1, px))
         if chunk >= n:
             out = self._decode_jit(
                 vae_params, latent, height=params.height, width=params.width,

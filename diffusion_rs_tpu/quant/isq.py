@@ -29,7 +29,9 @@ from .gguf_quants import ENCODERS, gguf_to_canonical
 from .qtensor import QuantizedTensor, pack4, unpack4_np
 
 # reference IsqType::Q4_0/Q4K/Q6K/Q8_0/... (CUDA-legal subset, lib.rs:102-128)
-SUPPORTED = ("q4_0", "q8_0", "q4_k", "q6_k", "nf4")
+# + "q8t": the TPU-native int8 execution format (per-K-tile scales) that
+# unlocks the s8 x s8 MXU path in the fused kernel (qtensor.quantize_q8_tile)
+SUPPORTED = ("q4_0", "q8_0", "q4_k", "q6_k", "nf4", "q8t")
 
 
 def _codes_of(qt: QuantizedTensor) -> np.ndarray:
@@ -159,6 +161,10 @@ def isq_quantize_weight(
     w_torch = np.ascontiguousarray(w.T)  # [out, in] for the encoders
     if target == "nf4":
         qt = quantize_nf4(w_torch, blocksize=64)
+    elif target == "q8t":
+        from .qtensor import quantize_q8_tile
+
+        qt = quantize_q8_tile(w)
     else:
         raw = ENCODERS[target](w_torch)
         qt = gguf_to_canonical(target, raw, (n, k))

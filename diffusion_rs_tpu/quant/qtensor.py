@@ -253,6 +253,36 @@ def quantize_q4_0(w: np.ndarray) -> QuantizedTensor:
     )
 
 
+def quantize_q8_tile(w: np.ndarray, tile: int = SPLIT_MAX) -> QuantizedTensor:
+    """TPU-native int8 execution format ("q8t"): symmetric int8 with ONE
+    scale per (K-tile, column) — the scale group equals the kernel's K-tile,
+    which is what lets the fused kernel run the contraction on the MXU's
+    int8 path (s8 x s8 -> i32) with a single rescale per tile (GGUF's 32-wide
+    groups cross tile boundaries and would force shallow 32-deep dots).
+    Quality sits between q8_0 (g32) and whole-column int8."""
+    k, n = w.shape
+    g = min(tile, k)
+    if k % g:
+        raise ValueError(f"K={k} not divisible by tile={g}")
+    wf = w.astype(np.float32).reshape(k // g, g, n)
+    amax = np.abs(wf).max(axis=1, keepdims=True)
+    d = amax / 127.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.round(wf * inv_d), -127, 127).astype(np.int8)
+    return QuantizedTensor(
+        packed=jnp.asarray(q.reshape(k, n)),
+        scale=jnp.asarray(d.reshape(k // g, n).astype(np.float32)),
+        bias=None,
+        codebook=None,
+        kind="q8t",
+        bits=8,
+        group=g,
+        split=choose_split(k),
+        shape=(k, n),
+        out_dtype="bfloat16",
+    )
+
+
 def quantize_q8_0(w: np.ndarray) -> QuantizedTensor:
     """GGUF Q8_0-equivalent: 32-wide groups, symmetric int8."""
     k, n = w.shape

@@ -11,7 +11,7 @@ from diffusion_rs_tpu.quant import isq_quantize_weight, isq_tree
 from diffusion_rs_tpu.quant.qtensor import QuantizedTensor, dequantize
 
 
-@pytest.mark.parametrize("target", ["q4_0", "q8_0", "q4_k", "q6_k", "nf4"])
+@pytest.mark.parametrize("target", ["q4_0", "q8_0", "q4_k", "q6_k", "nf4", "q8t"])
 def test_isq_roundtrip_budget(rng, target):
     w = (rng.standard_normal((512, 256)) * 0.03).astype(np.float32)
     qt = isq_quantize_weight(w, target)
@@ -20,8 +20,25 @@ def test_isq_roundtrip_budget(rng, target):
     w_hat = np.asarray(dequantize(qt, jnp.float32))
     err = np.abs(w - w_hat).mean()
     budget = {"q4_0": 0.006, "q8_0": 0.0005, "q4_k": 0.006, "q6_k": 0.001,
-              "nf4": 0.006}[target]
+              "nf4": 0.006, "q8t": 0.0005}[target]
     assert err <= budget, (target, err)
+
+
+def test_q8t_s8_kernel_matches_dequant(rng):
+    """The s8 x s8 MXU path ("q8t": per-K-tile weight scales + in-kernel
+    activation int8 quantization) must stay within the reference's 0.02
+    quantized-matmul budget (quantized_tests.rs:40-46)."""
+    from diffusion_rs_tpu.ops.qmatmul_pallas import quantized_matmul
+    from diffusion_rs_tpu.quant.qtensor import quantize_q8_tile
+
+    w = (rng.standard_normal((512, 256)) * 0.05).astype(np.float32)
+    qt = quantize_q8_tile(w)
+    assert qt.kind == "q8t" and qt.group == 256
+    x = jnp.asarray(rng.standard_normal((64, 512)), jnp.float32)
+    y = np.asarray(quantized_matmul(x, qt, interpret=True))
+    ref = np.asarray(x @ dequantize(qt, jnp.float32))
+    rel = np.abs(y - ref).sum() / np.abs(ref).sum()
+    assert rel <= 0.02, rel
 
 
 def test_isq_tree_quantizes_stacked_and_skips_small(rng):
