@@ -23,6 +23,8 @@ log = logging.getLogger("diffusion_rs_tpu")
 
 _REPO_NATIVE = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _REPO_NATIVE / "build" / "libdrs_io.so"
+# Wheel installs carry the lib as package data (built by setup.py build_py).
+_WHEEL_LIB = Path(__file__).resolve().parents[1] / "_native" / "libdrs_io.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -50,10 +52,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("DIFFUSION_RS_TPU_NO_NATIVE"):
             return None
-        if not _LIB_PATH.exists() and not _build():
+        if _WHEEL_LIB.exists():
+            lib_path = _WHEEL_LIB
+        elif _LIB_PATH.exists() or _build():
+            lib_path = _LIB_PATH
+        else:
             return None
         try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib = ctypes.CDLL(str(lib_path))
             lib.drs_transpose_2d.restype = ctypes.c_int
             lib.drs_bnb_repack4.restype = ctypes.c_int
             lib.drs_file_read_spans.restype = ctypes.c_int
