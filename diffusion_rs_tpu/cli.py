@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", default=None,
                    help="non-interactive: generate once and exit")
     p.add_argument("-o", "--out", default="image.png")
+    p.add_argument("--serve", action="store_true",
+                   help="start the continuous-batching HTTP server "
+                        "(POST /generate, GET /metrics)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="serving lanes sharing each batched forward")
     p.add_argument("--silent", action="store_true")
     return p
 
@@ -88,6 +95,20 @@ def main(argv=None) -> int:
         print(f"Took: {time.time() - t0:.2f}s")
         img.save(out_path)
         print(f"Saved to {out_path}")
+
+    if args.serve:
+        from .serving import FluxServer, serve_http
+
+        server = FluxServer(pipe._inner, max_batch=args.max_batch)
+        print(f"serving on http://{args.host}:{args.port} "
+              f"(POST /generate, GET /metrics, GET /healthz)")
+        try:
+            serve_http(server, args.host, args.port)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+        return 0
 
     if args.prompt is not None:
         generate(args.prompt, args.height, args.width, args.out)

@@ -17,9 +17,20 @@ queue on the next tick without waiting for the rest of the batch (the
 its slowest member finishes).
 
 Lanes are grouped by (latent_h2, latent_w2, txt_len) so shapes stay static
-for jit; the step function compiles once per (B, shape-group). Empty lanes
-are padded with lane 0's data and dt=0 (a no-op update), so the jitted step
-never recompiles as occupancy fluctuates.
+for jit — one server instance serves MIXED resolutions / prompt lengths
+concurrently (each group ticks its own batched forward). Batches are padded
+to power-of-two BUCKETS (lane 0's data with dt=0 — a no-op update): at most
+log2(max_batch) graphs per shape-group, and a lone request doesn't pay a
+full max_batch forward.
+
+If the pipeline was loaded with a device mesh, every batched step is
+dp-sharded over it: lanes are device_put with batch-dim NamedSharding and
+the step runs under set_mesh, so the tp/sp-sharded weights and the
+dp-sharded lanes use the same GSPMD graphs as the offline pipeline. Buckets
+are then multiples of the dp axis size so every chip holds equal lanes.
+
+``stats()`` / ``metrics_text()`` export occupancy, queue depth, latency and
+step counters (Prometheus text format) for production monitoring.
 """
 
 from __future__ import annotations
@@ -52,6 +63,7 @@ class _Lane:
     guidance: float
     sigmas: np.ndarray             # remaining schedule (>= 2 entries)
     step: int = 0
+    t_submit: float = 0.0
 
     @property
     def done(self) -> bool:
@@ -86,6 +98,20 @@ class FluxServer:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._step_jit = jax.jit(self._cb_step)
+        # dp-sharded serving: batches are laid out over the pipeline's mesh
+        self._mesh = getattr(pipeline, "mesh", None)
+        self._dp = self._mesh.shape.get("dp", 1) if self._mesh is not None else 1
+        if self.max_batch % self._dp != 0:
+            raise ValueError(
+                f"max_batch ({max_batch}) must be a multiple of the mesh dp "
+                f"axis ({self._dp}) for dp-sharded serving"
+            )
+        # metrics (guarded by _lock)
+        self._m = {
+            "submitted": 0, "completed": 0, "failed": 0,
+            "forwards": 0, "lane_steps": 0, "padded_lane_steps": 0,
+            "latency_sum_s": 0.0,
+        }
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -125,9 +151,11 @@ class FluxServer:
             txt=txt[0], y=y[0],
             guidance=float(params.guidance_scale),
             sigmas=np.asarray(sigmas, np.float32),
+            t_submit=time.perf_counter(),
         )
         with self._lock:
             self._queue.append(lane)
+            self._m["submitted"] += 1
         return lane.future
 
     def generate(self, prompts: List[str], params) -> List[np.ndarray]:
@@ -137,6 +165,29 @@ class FluxServer:
     def shutdown(self):
         self._stop.set()
         self._thread.join(timeout=60)
+
+    # -- metrics ---------------------------------------------------------------
+
+    def stats(self) -> dict:
+        """Snapshot of serving counters (thread-safe)."""
+        with self._lock:
+            m = dict(self._m)
+            m["queue_depth"] = len(self._queue)
+        m["in_flight"] = len(getattr(self, "_active", []))
+        done = m["completed"]
+        m["mean_latency_s"] = (m.pop("latency_sum_s") / done) if done else 0.0
+        stepped = m["lane_steps"] + m["padded_lane_steps"]
+        m["occupancy"] = (m["lane_steps"] / stepped) if stepped else 1.0
+        return m
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of ``stats()`` (drs_server_* gauges)."""
+        s = self.stats()
+        lines = []
+        for k, v in sorted(s.items()):
+            lines.append(f"# TYPE drs_server_{k} gauge")
+            lines.append(f"drs_server_{k} {v}")
+        return "\n".join(lines) + "\n"
 
     # -- batched step ----------------------------------------------------------
 
@@ -192,9 +243,15 @@ class FluxServer:
                     jnp.float32,
                 )
                 gs = jnp.asarray([ln.guidance for ln in lanes], jnp.float32)
-                # pad to max_batch so occupancy changes don't recompile
-                if b < self.max_batch:
-                    padn = self.max_batch - b
+                # pad to the next power-of-two bucket (x dp multiple): at most
+                # log2(max_batch) graphs per shape-group, and a lone request
+                # doesn't pay a full max_batch forward
+                bucket = self._dp
+                while bucket < b:
+                    bucket *= 2
+                bucket = min(bucket, self.max_batch)
+                if b < bucket:
+                    padn = bucket - b
                     latents = jnp.concatenate(
                         [latents, jnp.repeat(latents[:1], padn, 0)])
                     txts = jnp.concatenate([txts, jnp.repeat(txts[:1], padn, 0)])
@@ -202,13 +259,31 @@ class FluxServer:
                     ts = jnp.concatenate([ts, jnp.repeat(ts[:1], padn)])
                     dts = jnp.concatenate([dts, jnp.zeros((padn,), jnp.float32)])
                     gs = jnp.concatenate([gs, jnp.repeat(gs[:1], padn)])
-                out = self._step_jit(
-                    p._component("flux", p.flux_params),
-                    latents, txts, ys, ts, dts, gs, group.pe,
-                )
+                if self._mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    dp_sh = NamedSharding(self._mesh, P("dp"))
+                    latents, txts, ys, ts, dts, gs = (
+                        jax.device_put(a, dp_sh)
+                        for a in (latents, txts, ys, ts, dts, gs)
+                    )
+                    with jax.sharding.set_mesh(self._mesh):
+                        out = self._step_jit(
+                            p._component("flux", p.flux_params),
+                            latents, txts, ys, ts, dts, gs, group.pe,
+                        )
+                else:
+                    out = self._step_jit(
+                        p._component("flux", p.flux_params),
+                        latents, txts, ys, ts, dts, gs, group.pe,
+                    )
                 for i, ln in enumerate(lanes):
                     ln.latent = out[i]
                     ln.step += 1
+                with self._lock:
+                    self._m["forwards"] += 1
+                    self._m["lane_steps"] += b
+                    self._m["padded_lane_steps"] += bucket - b
             # retire finished lanes (decode individually — frees the lane
             # for the next queued request immediately)
             still = []
@@ -223,10 +298,103 @@ class FluxServer:
                         height=ln.params.height, width=ln.params.width,
                     )
                     ln.future.set_result(np.asarray(jax.device_get(img))[0])
+                    with self._lock:
+                        self._m["completed"] += 1
+                        self._m["latency_sum_s"] += (
+                            time.perf_counter() - ln.t_submit
+                        )
                 except Exception as e:  # pragma: no cover
                     ln.future.set_exception(e)
+                    with self._lock:
+                        self._m["failed"] += 1
             self._active = still
         # drain on shutdown
         for ln in self._active + self._queue:
             if not ln.future.done():
                 ln.future.cancel()
+
+
+def serve_http(server: FluxServer, host: str = "127.0.0.1", port: int = 8000,
+               *, make_params=None, block: bool = True):
+    """Minimal production HTTP front-end over a :class:`FluxServer`.
+
+    Endpoints:
+      * ``POST /generate`` — JSON ``{"prompt": ..., "height": 1024,
+        "width": 1024, "num_steps": 28, "guidance_scale": 3.5, "seed": 7}``
+        (all but ``prompt`` optional) → ``image/png`` bytes. Requests from
+        concurrent clients continuous-batch into shared forwards.
+      * ``GET /metrics`` — Prometheus text (``stats()``).
+      * ``GET /healthz`` — liveness.
+
+    Stdlib-only (ThreadingHTTPServer): each connection thread blocks on its
+    lane future while the single scheduler thread runs the TPU. Returns the
+    HTTPServer (call ``.shutdown()``) when ``block=False``.
+    """
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from .pipelines.api import DiffusionGenerationParams
+
+    def default_params(body: dict):
+        return DiffusionGenerationParams(
+            height=int(body.get("height", 1024)),
+            width=int(body.get("width", 1024)),
+            num_steps=int(body.get("num_steps", 28)),
+            guidance_scale=float(body.get("guidance_scale", 3.5)),
+            seed=body.get("seed"),
+            max_sequence_length=body.get("max_sequence_length"),
+        )
+
+    params_fn = make_params or default_params
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/metrics":
+                self._send(200, server.metrics_text().encode(),
+                           "text/plain; version=0.0.4")
+            elif self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                prompt = body["prompt"]
+                fut = server.submit(prompt, params_fn(body))
+                arr = fut.result()
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(np.asarray(arr)).save(buf, format="PNG")
+                self._send(200, buf.getvalue(), "image/png")
+            except KeyError as e:
+                self._send(400, f"missing field: {e}".encode(), "text/plain")
+            except Exception as e:  # pragma: no cover
+                self._send(500, str(e).encode(), "text/plain")
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    if block:  # pragma: no cover — interactive path
+        try:
+            httpd.serve_forever()
+        finally:
+            httpd.server_close()
+        return None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd

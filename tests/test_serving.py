@@ -53,3 +53,138 @@ def test_server_queues_beyond_batch(pipe):
     assert all(o.shape == (64, 64, 3) for o in outs)
     # different seeds -> different images
     assert (outs[0] != outs[1]).any()
+
+
+def test_server_mixed_resolutions_and_metrics(pipe):
+    """One server instance serves MIXED resolutions concurrently (per-shape
+    lane groups each tick their own batched forward), and the metrics
+    counters add up."""
+    inner = pipe._inner
+    server = FluxServer(inner, max_batch=4)
+    try:
+        p64 = _params(2, 1)
+        p96 = DiffusionGenerationParams(
+            height=96, width=64, num_steps=3, guidance_scale=0.0, seed=2
+        )
+        futs = [server.submit("a cat", p64), server.submit("a dog", p96),
+                server.submit("a bird", p64)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        server.shutdown()
+    assert outs[0].shape == (64, 64, 3)
+    assert outs[1].shape == (96, 64, 3)
+    # each image matches its own offline generation
+    for prompt, gp, img in [("a cat", p64, outs[0]), ("a dog", p96, outs[1])]:
+        want = inner.forward_arrays([prompt], gp)[0]
+        diff = np.abs(img.astype(np.float32) - want.astype(np.float32))
+        assert diff.mean() < 1.0 and diff.max() <= 16, (prompt, diff.mean())
+    s = server.stats()
+    assert s["submitted"] == 3 and s["completed"] == 3 and s["failed"] == 0
+    # 2+3+2 lane-steps were computed in total
+    assert s["lane_steps"] == 7
+    assert 0.0 < s["occupancy"] <= 1.0 and s["mean_latency_s"] > 0
+    text = server.metrics_text()
+    assert "drs_server_completed 3" in text
+
+
+def test_server_bucket_padding_compiles_small_batches(pipe):
+    """A lone request must run in the smallest bucket (1 lane), not pad to
+    max_batch: padded_lane_steps stays 0 for a single submission."""
+    server = FluxServer(pipe._inner, max_batch=4)
+    try:
+        out = server.submit("solo", _params(2, 5)).result(timeout=600)
+    finally:
+        server.shutdown()
+    assert out.shape == (64, 64, 3)
+    s = server.stats()
+    assert s["lane_steps"] == 2 and s["padded_lane_steps"] == 0
+
+
+def test_server_dp_mesh_sharded(tmp_path):
+    """dp-mesh sharded serving: batched steps run over the pipeline's mesh
+    (lanes dp-sharded, tp-sharded weights) and match offline output."""
+    import jax
+    from diffusion_rs_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    root = write_checkpoint(tmp_path / "mesh_ck", seed=0)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    sharded = Pipeline(ModelSource.from_model_id(str(root)), silent=True, mesh=mesh)
+    plain = Pipeline(ModelSource.from_model_id(str(root)), silent=True)
+    server = FluxServer(sharded._inner, max_batch=4)
+    try:
+        futs = [server.submit(pr, _params(2, 1 + i))
+                for i, pr in enumerate(["a cat", "a dog", "a fox"])]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        server.shutdown()
+    for i, (pr, img) in enumerate(zip(["a cat", "a dog", "a fox"], outs)):
+        want = plain._inner.forward_arrays([pr], _params(2, 1 + i))[0]
+        diff = np.abs(img.astype(np.float32) - want.astype(np.float32))
+        assert diff.mean() < 1.0 and diff.max() <= 16, (pr, diff.mean(), diff.max())
+
+
+def test_http_server_generate_and_metrics(pipe):
+    """HTTP front-end: POST /generate returns a PNG; /metrics and /healthz
+    respond; concurrent requests continuous-batch."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from diffusion_rs_tpu.serving import serve_http
+
+    server = FluxServer(pipe._inner, max_batch=4)
+    httpd = serve_http(server, "127.0.0.1", 0, block=False)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def post(prompt, seed):
+            body = json.dumps({
+                "prompt": prompt, "height": 64, "width": 64,
+                "num_steps": 2, "guidance_scale": 0.0, "seed": seed,
+            }).encode()
+            req = urllib.request.Request(
+                base + "/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                assert r.headers["Content-Type"] == "image/png"
+                return r.read()
+
+        with ThreadPoolExecutor(2) as ex:
+            pngs = list(ex.map(lambda s: post(f"img {s}", s), [1, 2]))
+        assert all(p[:8] == b"\x89PNG\r\n\x1a\n" for p in pngs)
+        assert pngs[0] != pngs[1]  # different seeds
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert r.read() == b"ok"
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert "drs_server_completed 2" in text
+
+        # missing prompt -> 400
+        req = urllib.request.Request(
+            base + "/generate", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        server.shutdown()
+
+
+def test_server_rejects_indivisible_dp_batch(tmp_path):
+    import jax
+    from diffusion_rs_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    root = write_checkpoint(tmp_path / "mesh_ck2", seed=0)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    sharded = Pipeline(ModelSource.from_model_id(str(root)), silent=True, mesh=mesh)
+    with pytest.raises(ValueError, match="multiple of the mesh dp"):
+        FluxServer(sharded._inner, max_batch=3)
