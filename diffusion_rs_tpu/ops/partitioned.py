@@ -148,7 +148,8 @@ def _local_k_ok(kl: int, bits: int, group: int, split: int) -> bool:
 
 @functools.lru_cache(None)
 def make_partitioned_qmm(bits, group, split, kn, out_dtype, interpret,
-                         bm_cap, bn_cap, has_bias, has_cb, s8_act=False):
+                         bm_cap, bn_cap, has_bias, has_cb, s8_act=False,
+                         fast16=False):
     """Quantized-matmul callable with a GSPMD rule.
 
     x [M, K] may shard M (dp/sp tokens). The weight planes shard either:
@@ -174,6 +175,7 @@ def make_partitioned_qmm(bits, group, split, kn, out_dtype, interpret,
             out_dtype=odt, interpret=interpret,
             bm_cap=bm_cap, bn_cap=bn_cap,
             s8_act=s8_act and group == min(256, k_local),
+            fast16=fast16,  # applies only when x is 16-bit (see _dequant_tile)
         )
 
     # signature varies with optional planes; build the exact arity

@@ -30,29 +30,43 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.qtensor import QuantizedTensor, dequantize
 
 
-def _codebook_select(q: jnp.ndarray, cb) -> jnp.ndarray:
+def _codebook_select(q: jnp.ndarray, cb, val_dtype=jnp.float32) -> jnp.ndarray:
     """Decode 4-bit codes via a binary select tree (15 VPU selects).
 
     ``cb`` is a length-16 f32 SMEM ref (scalar reads); gathers lower poorly
-    on TPU so we select on the code bits instead.
+    on TPU so we select on the code bits instead. With ``val_dtype=bfloat16``
+    the selected values are 16-bit, packing 2x lanes per vreg (opt-in
+    fast16 path; see quantized_matmul fast-decode note).
     """
-    q = q.astype(jnp.int32)  # native (8,128) tiling for the masks
+    # Masks must share the value registers' sublane layout: (8,128) i32 for
+    # f32 selects, (16,128) i16 for 16-bit selects (Mosaic can't relayout an
+    # i32-born i1 vector onto 16-bit lanes).
+    q = q.astype(jnp.int16 if jnp.dtype(val_dtype).itemsize == 2 else jnp.int32)
     b0 = (q & 1) != 0
     b1 = (q & 2) != 0
     b2 = (q & 4) != 0
     b3 = (q & 8) != 0
-    vals = [cb[i] for i in range(16)]
+    vals = [cb[i].astype(val_dtype) for i in range(16)]
     lvl0 = [jnp.where(b0, vals[2 * i + 1], vals[2 * i]) for i in range(8)]
     lvl1 = [jnp.where(b1, lvl0[2 * i + 1], lvl0[2 * i]) for i in range(4)]
     lvl2 = [jnp.where(b2, lvl1[2 * i + 1], lvl1[2 * i]) for i in range(2)]
     return jnp.where(b3, lvl2[1], lvl2[0])
 
 
-def _dequant_tile(packed, scale, bias, codebook, *, bits, group, bk, bn, out_dtype):
-    """Dequantize one [bk, bn] weight tile in VMEM (f32 math, cast at end).
+def _dequant_tile(packed, scale, bias, codebook, *, bits, group, bk,
+                  bn, out_dtype, fast16=False):
+    """Dequantize one [bk, bn] weight tile in VMEM.
 
     ``scale``/``bias`` are the rows of the dense [K/group, bn] planes covering
     this k-tile (shape [max(1, bk//group), bn]).
+
+    Default math is f32 with a cast at the end (bit-exact vs the XLA
+    ``dequantize``+matmul path). ``fast16`` decodes in ``out_dtype`` (bf16)
+    instead: 16-bit values pack 2x lanes per vreg, halving the VPU select/mul
+    instruction count. Only used when ``out_dtype`` is 16-bit; the extra
+    rounding (codebook entries + products rounded to bf16) is ~2^-9 relative
+    — noise against the 4-bit quantization error itself. Perf-neutral on
+    v5e at FLUX shapes (the VPU is not the limiter there), hence opt-in.
     """
     if bits == 4:
         # Widen to i32 before bit ops — Mosaic has no i8 shift lowering.
@@ -62,19 +76,40 @@ def _dequant_tile(packed, scale, bias, codebook, *, bits, group, bk, bn, out_dty
         q = jnp.concatenate([lo, hi], axis=0)  # [bk, bn] split-block order
     else:
         q = packed.astype(jnp.int32)
+    fast16 = fast16 and jnp.dtype(out_dtype).itemsize == 2
+    vdt = jnp.dtype(out_dtype) if fast16 else jnp.float32
+    off = None
     if codebook is not None:
-        w = _codebook_select(q, codebook)
+        w = _codebook_select(q, codebook, vdt)
     else:
-        w = q.astype(jnp.float32)
+        w = q.astype(vdt)  # |q| <= 127: exact in bf16
+        if fast16 and bias is not None:
+            # centered form (q + bias/scale) * scale: for symmetric affine
+            # formats (q4_0: bias = -8*scale) the offset is an exact small
+            # integer, so the sum is exact in bf16 — avoids the q*s + (-8s)
+            # cancellation that doubles relative error in 16-bit math.
+            # Computed on the small [rows, bn] plane in f32 (one divide).
+            off = jnp.where(
+                scale == 0.0, 0.0, bias / jnp.where(scale == 0.0, 1.0, scale)
+            ).astype(vdt)
+            bias = None
+    scale = scale.astype(vdt)
+    if bias is not None:
+        bias = bias.astype(vdt)
     # Broadcast per-group scale/bias along K: [bk, bn] -> [groups, g, bn]
     # (split of the sublane dim; lane dim untouched).
     if group < bk:
         groups = bk // group
-        w = w.reshape(groups, group, bn) * scale[:, None, :]
+        w = w.reshape(groups, group, bn)
+        if off is not None:
+            w = w + off[:, None, :]
+        w = w * scale[:, None, :]
         if bias is not None:
             w = w + bias[:, None, :]
         w = w.reshape(bk, bn)
     else:
+        if off is not None:
+            w = w + off
         w = w * scale
         if bias is not None:
             w = w + bias
@@ -83,7 +118,7 @@ def _dequant_tile(packed, scale, bias, codebook, *, bits, group, bk, bn, out_dty
 
 def _qmm_kernel(
     x_ref, packed_ref, scale_ref, bias_ref, cb_ref, o_ref, acc_ref,
-    *, bits, group, bk, bn, has_bias, has_cb, s8_act=False
+    *, bits, group, bk, bn, has_bias, has_cb, s8_act=False, fast16=False
 ):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -118,6 +153,7 @@ def _qmm_kernel(
             bk=bk,
             bn=bn,
             out_dtype=x_ref.dtype,
+            fast16=fast16,
         )
         acc_ref[...] += jax.lax.dot(
             x_ref[...], w, preferred_element_type=jnp.float32
@@ -167,18 +203,26 @@ def supports(qt: QuantizedTensor, n_pad_ok: bool = True) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group", "split", "kn", "out_dtype", "interpret",
-                     "bm_cap", "bn_cap", "s8_act"),
+                     "bm_cap", "bn_cap", "s8_act", "fast16"),
 )
 def _qmm_call(x, packed, scale, bias, codebook, *, bits, group, split, kn,
-              out_dtype, interpret, bm_cap, bn_cap, s8_act=False):
+              out_dtype, interpret, bm_cap, bn_cap, s8_act=False,
+              fast16=False):
     k, n = kn
     m = x.shape[0]
+    # bk = split for 4-bit: measured on v5e, growing bk to 512 via the
+    # multi-unit decode (supported by _dequant_tile) does not improve on the
+    # ~100 TFLOP/s plateau (86% of the dense-XLA speed of light at FLUX
+    # shapes) and trips Mosaic VMEM limits at some tile combos.
     bk = split if bits == 4 else min(256, k)
     bn = min(bn_cap, n)
     while n % bn != 0:
         bn //= 2
     bm = min(bm_cap, _round_up(m, 16))
     # Clamp tiles to the VMEM budget (double-buffered inputs + f32 acc).
+    # 12 MB is deliberately conservative: larger budgets (tested up to 64 MB
+    # with full-M tiles) fail Mosaic compilation and showed no speedup below
+    # the failure threshold.
     VMEM_BUDGET = 12 * 1024 * 1024
 
     def vmem_use(bm_, bn_):
@@ -231,7 +275,7 @@ def _qmm_call(x, packed, scale, bias, codebook, *, bits, group, split, kn,
         _qmm_kernel(
             x_ref, packed_ref, scale_ref, bias_ref, cb_ref, o_ref, acc_ref,
             bits=bits, group=group, bk=bk, bn=bn,
-            has_bias=has_bias, has_cb=has_cb, s8_act=s8_act,
+            has_bias=has_bias, has_cb=has_cb, s8_act=s8_act, fast16=fast16,
         )
 
     out = pl.pallas_call(
@@ -287,10 +331,22 @@ def quantized_matmul(
         qt.kind == "q8t" and qt.bits == 8 and qt.bias is None
         and qt.codebook is None and qt.group == min(256, k)
     )
+    # Opt-in 16-bit in-VMEM decode (2x VPU lanes for the select tree / scale
+    # math). Measured on v5e at FLUX shapes it is perf-neutral — the kernel
+    # sits at ~86% of the dense-XLA speed of light and the VPU decode is NOT
+    # the limiter — while adding ~2^-9 relative rounding, so the default
+    # stays the f32 decode (bit-exact vs the XLA dequantize+matmul path).
+    # May help on parts with narrower VPUs; enable to experiment.
+    import os
+
+    fast16 = (
+        jnp.dtype(x.dtype).itemsize == 2
+        and bool(os.environ.get("DIFFUSION_RS_TPU_QMM_FAST16"))
+    )
     qmm = make_partitioned_qmm(
         qt.bits, qt.group, qt.split, (k, n), jnp.dtype(out_dtype),
         interpret, bm_cap, bn_cap,
-        qt.bias is not None, qt.codebook is not None, s8_act,
+        qt.bias is not None, qt.codebook is not None, s8_act, fast16,
     )
     args = [x2, qt.packed, qt.scale]
     if qt.bias is not None:

@@ -198,6 +198,32 @@ def test_qmm_kquant_group16(rng):
     assert summed_rel(y1, y2) <= 1e-5
 
 
+def test_qmm_fast16_decode_budget(rng):
+    """DIFFUSION_RS_TPU_QMM_FAST16=1 decodes in bf16 (2x VPU lanes); its
+    extra rounding must stay ~2^-9 relative — noise against the 4-bit
+    quantization error. Default is the bit-exact-vs-dequantize f32 decode."""
+    import os
+
+    w = (rng.standard_normal((512, 256)) * 0.05).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((33, 512)), jnp.bfloat16)
+    for make in (quantize_q4_0, quantize_q8_0,
+                 lambda w: bnb.quantize_nf4(np.ascontiguousarray(w.T), blocksize=64)):
+        qt = make(w)
+        ref = np.asarray(
+            jnp.matmul(x.astype(jnp.float32), dequantize(qt, jnp.float32)))
+        os.environ["DIFFUSION_RS_TPU_QMM_FAST16"] = "1"
+        try:
+            y_fast = np.asarray(quantized_matmul(x, qt, interpret=True), np.float32)
+        finally:
+            del os.environ["DIFFUSION_RS_TPU_QMM_FAST16"]
+        y_f32 = np.asarray(quantized_matmul(x, qt, interpret=True), np.float32)
+        rel_fast = np.abs(y_fast - ref).sum() / np.abs(ref).sum()
+        rel_f32 = np.abs(y_f32 - ref).sum() / np.abs(ref).sum()
+        # bf16 inputs already cost ~2.3e-3; fast16 may add at most ~2x
+        assert rel_f32 <= 3e-3, (qt.kind, rel_f32)
+        assert rel_fast <= 2.0 * rel_f32 + 1e-4, (qt.kind, rel_fast, rel_f32)
+
+
 def test_qmm_accuracy_budget(rng):
     """End-to-end quantize->fused-matmul error budget (reference: <= 0.02)."""
     m, k, n = 16, 512, 256

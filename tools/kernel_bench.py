@@ -19,12 +19,17 @@ import numpy as np
 
 
 def _timeit(fn, *args, iters=20, warmup=3):
+    """fn must return a SCALAR (reduce inside the jit): through the axon
+    HTTP relay, block_until_ready() on a device array can return before
+    execution finishes (async dispatch), silently measuring dispatch instead
+    of compute — float() forces the D2H of 4 bytes, which cannot complete
+    before the computation does."""
     for _ in range(warmup):
-        fn(*args).block_until_ready()
+        float(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fn(*args).block_until_ready()
+        float(fn(*args))
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts)
 
@@ -57,9 +62,12 @@ def bench_qmm(args):
 
     assert k == n, "qmm bench chains y back into x; needs K == N"
 
-    def run(bm_cap, bn_cap, reps=8):
+    def run(bm_cap, bn_cap, reps=100):
         bias_i = 2 if qt.bias is not None else None
         cb_i = -1 if qt.codebook is not None else None
+        import os
+
+        fast16 = bool(os.environ.get("DIFFUSION_RS_TPU_QMM_FAST16"))
 
         @jax.jit
         def f(x, *pl_):
@@ -72,10 +80,11 @@ def bench_qmm(args):
                     bits=qt.bits, group=qt.group, split=qt.split,
                     kn=qt.shape, out_dtype=jnp.dtype(jnp.bfloat16),
                     interpret=False, bm_cap=bm_cap, bn_cap=bn_cap,
+                    fast16=fast16,
                 )
-            return y
+            return y.sum()
 
-        t = _timeit(f, x, *planes) / reps
+        t = _timeit(f, x, *planes, iters=5) / reps
         return flops / t / 1e12
 
     if args.cmd == "sweep":
@@ -102,10 +111,16 @@ def bench_flash(args):
     q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
     flops = 4.0 * b * h * s * s * d
 
-    def f(q):
-        return _flash_call(q, q, q, float(d ** -0.5), args.bq, args.bk, False)
+    reps = 20
 
-    t = _timeit(jax.jit(f), q)
+    @jax.jit
+    def f(q):
+        y = q
+        for _ in range(reps):  # chained: q := attn(q) defeats CSE
+            y = _flash_call(y, y, y, float(d ** -0.5), args.bq, args.bk, False)
+        return y.sum()
+
+    t = _timeit(f, q, iters=5) / reps
     print(f"flash B{b} H{h} S{s} D{d} bq{args.bq} bk{args.bk}: {flops/t/1e12:.1f} TFLOP/s")
 
 
