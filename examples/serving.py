@@ -35,8 +35,16 @@ def main():
         for p, f in zip(prompts, futs):
             img = f.result()
             print(f"{p!r}: {img.shape}")
+        s = server.stats()
+        print(f"occupancy {s['occupancy']:.0%}, "
+              f"mean latency {s['mean_latency_s']:.2f}s, "
+              f"{s['forwards']} batched forwards for {s['lane_steps']} lane-steps")
     finally:
         server.shutdown()
+    # For an HTTP endpoint over the same server:
+    #   from diffusion_rs_tpu.serving import serve_http
+    #   serve_http(server, "0.0.0.0", 8000)   # POST /generate, GET /metrics
+    # or: python -m diffusion_rs_tpu.cli -m <model> --serve --port 8000
 
 
 if __name__ == "__main__":
