@@ -15,6 +15,7 @@ attention reuses the generic SDPA over flattened spatial tokens.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -112,6 +113,84 @@ def vae_decode(params: Params, cfg: VAEConfig, z_nhwc: jnp.ndarray) -> jnp.ndarr
             h = conv2d(upsample_nearest_2x(h), up["upsample"], padding=_PAD1)
     h = group_norm(h, g, p["norm_out"]["w"], p["norm_out"]["b"])
     return conv2d(jax.nn.silu(h), p["conv_out"], padding=_PAD1)
+
+
+def _vae_scale(cfg: VAEConfig) -> int:
+    """Decoder spatial upsampling factor: one 2x per stage but the last
+    (FLUX: 4 stages -> 8x)."""
+    return 2 ** (len(cfg.block_out_channels) - 1)
+
+
+def _blend_v(a: jnp.ndarray, b: jnp.ndarray, blend: int) -> jnp.ndarray:
+    """Feather the top `blend` pixel rows of b against the bottom of a."""
+    blend = min(blend, a.shape[1], b.shape[1])
+    ramp = (jnp.arange(blend, dtype=jnp.float32) / blend)[None, :, None, None]
+    mixed = (
+        a[:, -blend:].astype(jnp.float32) * (1.0 - ramp)
+        + b[:, :blend].astype(jnp.float32) * ramp
+    ).astype(b.dtype)
+    return jnp.concatenate([mixed, b[:, blend:]], axis=1)
+
+
+def _blend_h(a: jnp.ndarray, b: jnp.ndarray, blend: int) -> jnp.ndarray:
+    """Feather the left `blend` pixel columns of b against the right of a."""
+    blend = min(blend, a.shape[2], b.shape[2])
+    ramp = (jnp.arange(blend, dtype=jnp.float32) / blend)[None, None, :, None]
+    mixed = (
+        a[:, :, -blend:].astype(jnp.float32) * (1.0 - ramp)
+        + b[:, :, :blend].astype(jnp.float32) * ramp
+    ).astype(b.dtype)
+    return jnp.concatenate([mixed, b[:, :, blend:]], axis=2)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _decode_tile(params: Params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    return vae_decode(params, cfg, z)
+
+
+def vae_decode_tiled(
+    params: Params,
+    cfg: VAEConfig,
+    z_nhwc: jnp.ndarray,
+    tile: int = 128,
+    overlap: int = 16,
+) -> jnp.ndarray:
+    """Spatially tiled decode for resolutions whose full decode graph exceeds
+    HBM (measured on v5e 16 GB: a 2048x2048 image — 256x256 latent — needs
+    16.26 GB of decoder temps on its own).
+
+    Decodes latent tiles of ``tile``x``tile`` with ``overlap`` latent pixels
+    of overlap and feather-blends the seams linearly in pixel space — the
+    same semantics as diffusers' AutoencoderKL.tiled_decode (GroupNorm
+    statistics are per-tile; the blend hides the seams). Host loop over
+    tiles; each tile shape compiles once (edge tiles may be smaller).
+    """
+    b, h, w, _ = z_nhwc.shape
+    if h <= tile and w <= tile:
+        return vae_decode(params, cfg, z_nhwc)
+    f = _vae_scale(cfg)
+    overlap = max(1, min(overlap, tile // 2))
+    stride = tile - overlap
+    blend = overlap * f
+    limit = stride * f
+    rows = []
+    for i in range(0, h, stride):
+        row = []
+        for j in range(0, w, stride):
+            row.append(_decode_tile(params, cfg, z_nhwc[:, i:i + tile, j:j + tile, :]))
+        rows.append(row)
+    out_rows = []
+    for i, row in enumerate(rows):
+        parts = []
+        for j, t in enumerate(row):
+            if i > 0:
+                t = _blend_v(rows[i - 1][j], t, blend)
+            if j > 0:
+                t = _blend_h(row[j - 1], t, blend)
+            parts.append(t[:, :limit, :limit, :])
+        out_rows.append(jnp.concatenate(parts, axis=2))
+    out = jnp.concatenate(out_rows, axis=1)
+    return out[:, : h * f, : w * f, :]
 
 
 def vae_encode(

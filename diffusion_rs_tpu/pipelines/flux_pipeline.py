@@ -26,7 +26,7 @@ import numpy as np
 from ..models.clip import ClipTextConfig, clip_encode
 from ..models.flux import FluxConfig, compute_pe, flux_forward
 from ..models.t5 import T5Config, t5_encode
-from ..models.vae import VAEConfig, vae_decode
+from ..models.vae import VAEConfig, vae_decode, vae_decode_tiled
 from ..io.tokenizer import tokenize_and_pad
 from ..util.tracing import maybe_profile, trace_span
 from .sampling import (
@@ -97,6 +97,10 @@ class FluxPipeline:
             self._denoise, static_argnames=("height", "width")
         )
         self._decode_jit = jax.jit(self._decode, static_argnames=("height", "width"))
+        self._pre_decode_jit = jax.jit(
+            self._pre_decode, static_argnames=("height", "width")
+        )
+        self._to_u8_jit = jax.jit(self._to_u8)
 
     # -- jitted stages --------------------------------------------------------
 
@@ -131,17 +135,44 @@ class FluxPipeline:
         with trace_span("denoise"):
             return denoise_scan(step, img, sigmas)
 
+    def _pre_decode(self, latent, *, height, width):
+        latent = unpack_latents(latent, height, width)
+        z = latent / self.vae_cfg.scaling_factor + self.vae_cfg.shift_factor
+        return z.transpose(0, 2, 3, 1).astype(self.dtype)  # NHWC
+
+    @staticmethod
+    def _to_u8(img_out):
+        return jnp.clip(
+            (jnp.clip(img_out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5,
+            0, 255,
+        ).astype(jnp.uint8)  # NHWC
+
     def _decode(self, vae_params, latent, *, height, width):
-        dt = self.dtype
         with trace_span("vae-decode"):
-            latent = unpack_latents(latent, height, width)
-            z = latent / self.vae_cfg.scaling_factor + self.vae_cfg.shift_factor
-            z_nhwc = z.transpose(0, 2, 3, 1).astype(dt)
-            img_out = vae_decode(vae_params, self.vae_cfg, z_nhwc)
-            return jnp.clip(
-                (jnp.clip(img_out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5,
-                0, 255,
-            ).astype(jnp.uint8)  # NHWC
+            z_nhwc = self._pre_decode(latent, height=height, width=width)
+            return self._to_u8(vae_decode(vae_params, self.vae_cfg, z_nhwc))
+
+    # Above this latent side the one-shot decode graph overflows a 16 GB
+    # chip (a 2048x2048 image = 256x256 latent needs 16.26 GB of decoder
+    # temps alone); switch to the spatially tiled decoder. Tile size via
+    # DIFFUSION_RS_TPU_VAE_TILE (latent pixels; 0 disables tiling).
+    _TILE_DECODE_ABOVE = 128
+
+    def _decode_any(self, vae_params, latent, *, height, width):
+        """One-shot jitted decode, or host-tiled decode past the HBM limit."""
+        import os
+
+        tile = int(os.environ.get("DIFFUSION_RS_TPU_VAE_TILE", "128"))
+        lat_side = max(
+            ((height + 15) // 16) * 2, ((width + 15) // 16) * 2
+        )
+        if tile <= 0 or lat_side <= self._TILE_DECODE_ABOVE:
+            return self._decode_jit(
+                vae_params, latent, height=height, width=width
+            )
+        z_nhwc = self._pre_decode_jit(latent, height=height, width=width)
+        img_out = vae_decode_tiled(vae_params, self.vae_cfg, z_nhwc, tile=tile)
+        return self._to_u8_jit(img_out)
 
     def _denoise_streamed(self, txt, y, sigmas, guidance, noise):
         """Per-block weight-streaming denoise (Offloading.Stream): weights
@@ -282,14 +313,14 @@ class FluxPipeline:
             px = ((params.height + 15) // 16 * 16) * ((params.width + 15) // 16 * 16)
             chunk = max(1, (1 << 20) // max(1, px))
         if chunk >= n:
-            out = self._decode_jit(
+            out = self._decode_any(
                 vae_params, latent, height=params.height, width=params.width,
             )
             arr = np.asarray(jax.device_get(out))
         else:
             parts = []
             for i in range(0, n, chunk):
-                o = self._decode_jit(
+                o = self._decode_any(
                     vae_params, latent[i:i + chunk],
                     height=params.height, width=params.width,
                 )

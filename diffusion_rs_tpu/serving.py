@@ -292,7 +292,7 @@ class FluxServer:
                     still.append(ln)
                     continue
                 try:
-                    img = p._decode_jit(
+                    img = p._decode_any(
                         p._component("vae", p.vae_params),
                         ln.latent[None],
                         height=ln.params.height, width=ln.params.width,

@@ -295,3 +295,24 @@ def test_quantized_close_to_dense(tmp_path):
     ib = np.asarray(b.forward_images(["a photo"], PARAMS)[0], np.float32)
     # u8 images; mean abs diff should be small relative to 255 full-scale
     assert np.abs(ia - ib).mean() < 16.0
+
+def test_tiled_vae_decode_pipeline(pipe, monkeypatch):
+    """Resolutions past the single-shot decode HBM limit switch to the
+    spatially tiled decoder (_decode_any). Forced here by lowering the
+    threshold; the image must stay deterministic and close to the one-shot
+    decode away from per-tile GroupNorm drift."""
+    from diffusion_rs_tpu.pipelines.flux_pipeline import FluxPipeline
+
+    p = DiffusionGenerationParams(
+        height=96, width=64, num_steps=2, guidance_scale=0.0, seed=42
+    )
+    base = np.asarray(pipe.forward_images(["a photo"], p)[0])
+    monkeypatch.setattr(FluxPipeline, "_TILE_DECODE_ABOVE", 8)
+    monkeypatch.setenv("DIFFUSION_RS_TPU_VAE_TILE", "8")
+    tiled = np.asarray(pipe.forward_images(["a photo"], p)[0])
+    tiled2 = np.asarray(pipe.forward_images(["a photo"], p)[0])
+    assert tiled.shape == base.shape == (96, 64, 3)
+    np.testing.assert_array_equal(tiled, tiled2)  # deterministic
+    # same latent, different GN statistics per tile: images remain similar
+    d = np.abs(tiled.astype(np.float32) - base.astype(np.float32))
+    assert d.mean() < 48, d.mean()

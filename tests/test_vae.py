@@ -122,3 +122,40 @@ def test_vae_jit():
         np.asarray(f(params, z)), np.asarray(vae_decode(params, TINY, z)),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_vae_tiled_decode():
+    """Spatially tiled decode (HBM-bounded resolutions): trivial path is
+    bit-exact; the tiled path preserves shape and stays within the expected
+    per-tile-GroupNorm drift (random weights make GN stats diverge far more
+    than a trained VAE's — the bound here is deliberately loose)."""
+    from diffusion_rs_tpu.models.vae import vae_decode_tiled
+
+    cfg = VAEConfig(block_out_channels=(32, 32), norm_num_groups=8,
+                    latent_channels=16)
+    params = init_vae_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 24, 24, 16)) * 0.5
+
+    full = np.asarray(vae_decode(params, cfg, z))
+    trivial = np.asarray(vae_decode_tiled(params, cfg, z, tile=32, overlap=4))
+    np.testing.assert_array_equal(full, trivial)
+
+    tiled = np.asarray(vae_decode_tiled(params, cfg, z, tile=16, overlap=4))
+    assert tiled.shape == full.shape  # scale factor 2 for a 2-stage decoder
+    assert np.isfinite(tiled).all()
+    d = np.abs(full - tiled)
+    assert d.mean() < 0.5 * full.std(), (d.mean(), full.std())
+
+
+def test_vae_tiled_uneven_edges():
+    """Latent not divisible by the stride: edge tiles are smaller; output
+    still stitches to the exact full resolution."""
+    from diffusion_rs_tpu.models.vae import vae_decode_tiled
+
+    cfg = VAEConfig(block_out_channels=(32, 32), norm_num_groups=8,
+                    latent_channels=16)
+    params = init_vae_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 22, 30, 16)) * 0.5
+    out = np.asarray(vae_decode_tiled(params, cfg, z, tile=16, overlap=4))
+    assert out.shape == (1, 44, 60, 3)
+    assert np.isfinite(out).all()
