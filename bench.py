@@ -210,12 +210,15 @@ def bench_image(args, preset) -> int:
         return 0
     t_few = timed_image(few, args.iters) if few < steps else None
     step_s = None
-    if t_few is not None:
+    if t_few is not None and t_few < t_full:
         step_s = (t_full - t_few) / (steps - few)
         overhead_s = max(0.0, t_few - few * step_s)
         detail = (f"p50 step {step_s*1e3:.1f} ms, "
                   f"encode+decode {overhead_s*1e3:.0f} ms")
     else:
+        # t_few >= t_full happens on noisy/contended hosts with --iters 1;
+        # a negative derived step time is meaningless — report the whole-
+        # image figure only.
         detail = "single-timing"
     images_per_sec_chip = b / t_full
 

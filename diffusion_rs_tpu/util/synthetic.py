@@ -18,15 +18,39 @@ from ..quant.qtensor import QuantizedTensor, choose_split
 from ..ops.linear import Linear
 
 
+_POOL_N = 1 << 26  # 64 MB
+_pool = None
+
+
+def _pool_u8(shape, key) -> np.ndarray:
+    """Random-ish u8 array built from ONE shared 64 MB pool.
+
+    Full-size synthetic checkpoints are multiple GB of quantized planes;
+    generating unique random bytes for each (numpy PCG or XLA threefry) costs
+    minutes of host CPU per model. Values only need to be non-constant and
+    non-dedupable for benches/tests, so each tensor is the pool repeated
+    from a key-derived offset — memcpy speed, distinct bytes per tensor.
+    """
+    global _pool
+    if _pool is None:
+        _pool = np.random.default_rng(0x5EED).integers(
+            0, 256, size=_POOL_N, dtype=np.uint8
+        )
+    n = int(np.prod(shape))
+    off = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) % _POOL_N
+    rolled = np.roll(_pool, -off)
+    reps = -(-n // _POOL_N)
+    out = np.tile(rolled, reps)[:n] if reps > 1 else rolled[:n].copy()
+    return out.reshape(shape)
+
+
 def random_qtensor(
     key, k: int, n: int, kind: str = "nf4", group: int = 64,
     stack: Optional[int] = None, out_dtype: str = "bfloat16",
 ) -> QuantizedTensor:
     split = choose_split(k)
     lead = () if stack is None else (stack,)
-    packed = jax.random.randint(
-        key, lead + (k // 2, n), 0, 256, dtype=jnp.int32
-    ).astype(jnp.uint8)
+    packed = jnp.asarray(_pool_u8(lead + (k // 2, n), key))
     # absmax chosen so dequantized weights have ~1/sqrt(k) scale
     scale = jnp.full(lead + (k // group, n), 2.0 * k ** -0.5, jnp.float32)
     # codebook is a DATA field: stacked layers need a stacked codebook so
