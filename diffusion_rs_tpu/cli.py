@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--prompt", default=None,
                    help="non-interactive: generate once and exit")
+    p.add_argument("--init-image", default=None, metavar="FILE",
+                   help="img2img: start from this image instead of noise")
+    p.add_argument("--strength", type=float, default=0.6,
+                   help="img2img denoise strength in (0, 1]")
     p.add_argument("-o", "--out", default="image.png")
     p.add_argument("--serve", action="store_true",
                    help="start the continuous-batching HTTP server "
@@ -91,7 +95,13 @@ def main(argv=None) -> int:
             guidance_scale=args.scale, seed=args.seed,
         )
         t0 = time.time()
-        img = pipe.forward_images([prompt], params)[0]
+        if args.init_image:
+            from PIL import Image
+
+            init = Image.open(args.init_image)
+            img = pipe.img2img_images([prompt], params, init, args.strength)[0]
+        else:
+            img = pipe.forward_images([prompt], params)[0]
         print(f"Took: {time.time() - t0:.2f}s")
         img.save(out_path)
         print(f"Saved to {out_path}")

@@ -130,3 +130,33 @@ class Pipeline:
 
     def forward_images(self, prompts: Sequence[str], params: DiffusionGenerationParams):
         return self._inner.forward(list(prompts), params)
+
+    def img2img(
+        self,
+        prompts: Sequence[str],
+        params: DiffusionGenerationParams,
+        image,
+        strength: float = 0.6,
+    ) -> list[bytes]:
+        """Image-to-image: start the flow-match schedule from a VAE-encoded
+        init image (PIL / u8 array, or a list of them — one per prompt)
+        instead of pure noise; ``strength`` in (0, 1] is the fraction of the
+        schedule run (1.0 degenerates to text-to-image). Returns PNG bytes.
+        The reference has no img2img path; semantics follow upstream
+        diffusers' FluxImg2ImgPipeline."""
+        images = self._inner.img2img(list(prompts), params, image, strength)
+        out = []
+        for img in images:
+            buf = _io.BytesIO()
+            img.save(buf, format="PNG")
+            out.append(buf.getvalue())
+        return out
+
+    def img2img_images(
+        self,
+        prompts: Sequence[str],
+        params: DiffusionGenerationParams,
+        image,
+        strength: float = 0.6,
+    ):
+        return self._inner.img2img(list(prompts), params, image, strength)

@@ -26,7 +26,7 @@ import numpy as np
 from ..models.clip import ClipTextConfig, clip_encode
 from ..models.flux import FluxConfig, compute_pe, flux_forward
 from ..models.t5 import T5Config, t5_encode
-from ..models.vae import VAEConfig, vae_decode, vae_decode_tiled
+from ..models.vae import VAEConfig, vae_decode, vae_decode_tiled, vae_encode
 from ..io.tokenizer import tokenize_and_pad
 from ..util.tracing import maybe_profile, trace_span
 from .sampling import (
@@ -101,6 +101,7 @@ class FluxPipeline:
             self._pre_decode, static_argnames=("height", "width")
         )
         self._to_u8_jit = jax.jit(self._to_u8)
+        self._encode_image_jit = jax.jit(self._encode_image)
 
     # -- jitted stages --------------------------------------------------------
 
@@ -174,6 +175,13 @@ class FluxPipeline:
         img_out = vae_decode_tiled(vae_params, self.vae_cfg, z_nhwc, tile=tile)
         return self._to_u8_jit(img_out)
 
+    def _encode_image(self, vae_params, x_nhwc, key):
+        """Image [-1,1] NHWC -> scaled NCHW latent (img2img init)."""
+        with trace_span("vae-encode"):
+            lat = vae_encode(vae_params, self.vae_cfg, x_nhwc, key)
+            z = (lat - self.vae_cfg.shift_factor) * self.vae_cfg.scaling_factor
+            return z.transpose(0, 3, 1, 2)  # NCHW [B, 16, h, w]
+
     def _denoise_streamed(self, txt, y, sigmas, guidance, noise):
         """Per-block weight-streaming denoise (Offloading.Stream): weights
         live in host RAM; see models/flux_streaming.py."""
@@ -198,8 +206,17 @@ class FluxPipeline:
 
     # -- host front-end -------------------------------------------------------
 
-    def forward_arrays(self, prompts: List[str], params) -> np.ndarray:
-        """Returns u8 NHWC images [B, H, W, 3]."""
+    def forward_arrays(self, prompts: List[str], params, init_image=None,
+                       strength: float = 0.6) -> np.ndarray:
+        """Returns u8 NHWC images [B, H, W, 3].
+
+        ``init_image`` (PIL image / u8 array, or a list of them, one per
+        prompt) switches to img2img: the image is VAE-encoded and the
+        flow-match schedule starts from ``sigma[t_start]`` with the latent
+        interpolated ``sig0*noise + (1-sig0)*image_latent`` — the rectified-
+        flow img2img construction (upstream FluxImg2ImgPipeline semantics;
+        the reference has no img2img). ``strength`` in (0, 1]: fraction of
+        the schedule actually run (1.0 = ignore the image)."""
         import contextlib
 
         ctx = (
@@ -210,9 +227,27 @@ class FluxPipeline:
         # DIFFUSION_RS_TPU_TRACE_DIR=... captures a jax.profiler trace of the
         # whole generation (encode/denoise/decode named scopes inside).
         with ctx, maybe_profile("generate"):
-            return self._forward_arrays(prompts, params)
+            return self._forward_arrays(prompts, params, init_image, strength)
 
-    def _forward_arrays(self, prompts: List[str], params) -> np.ndarray:
+    def _prepare_image_batch(self, image, b: int, params) -> jnp.ndarray:
+        """PIL/array image(s) -> [-1,1] f32 NHWC at the rounded resolution."""
+        from PIL import Image
+
+        H = (params.height + 15) // 16 * 16
+        W = (params.width + 15) // 16 * 16
+        imgs = list(image) if isinstance(image, (list, tuple)) else [image] * b
+        if len(imgs) != b:
+            raise ValueError(f"got {len(imgs)} init images for {b} prompts")
+        out = []
+        for im in imgs:
+            if not isinstance(im, Image.Image):
+                im = Image.fromarray(np.asarray(im))
+            im = im.convert("RGB").resize((W, H), Image.LANCZOS)
+            out.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+        return jnp.asarray(np.stack(out), self.dtype)
+
+    def _forward_arrays(self, prompts: List[str], params, init_image=None,
+                        strength: float = 0.6) -> np.ndarray:
         # T5 context: the variant default (512 dev / 256 schnell-hard-cap,
         # flux/mod.rs:243-253) unless the caller passes max_sequence_length
         # (diffusers-compatible override). The schnell cap stays a hard error
@@ -275,6 +310,23 @@ class FluxPipeline:
         seed = params.seed if params.seed is not None else int(time.time_ns() % (1 << 31))
         key = jax.random.PRNGKey(seed)
         noise = get_noise(key, len(prompts), params.height, params.width)
+        if init_image is not None:
+            if not 0.0 < strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            # Truncate the schedule (diffusers FluxImg2ImgPipeline
+            # get_timesteps) and start from the interpolated latent.
+            steps_run = max(
+                1, min(int(round(params.num_steps * strength)), params.num_steps)
+            )
+            sigmas = sigmas[params.num_steps - steps_run:]
+            vae_params_enc = self._component("vae", self.vae_params)
+            x = self._prepare_image_batch(init_image, len(prompts), params)
+            lat = self._encode_image_jit(
+                vae_params_enc, x, jax.random.fold_in(key, 1)
+            )
+            self._release("vae")
+            sig0 = float(sigmas[0])
+            noise = sig0 * noise + (1.0 - sig0) * lat.astype(noise.dtype)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -335,4 +387,12 @@ class FluxPipeline:
         from PIL import Image
 
         arr = self.forward_arrays(prompts, params)
+        return [Image.fromarray(arr[i]) for i in range(arr.shape[0])]
+
+    def img2img(self, prompts: List[str], params, image, strength: float = 0.6) -> list:
+        """Image-to-image: PIL images, one per prompt (see forward_arrays)."""
+        from PIL import Image
+
+        arr = self.forward_arrays(prompts, params, init_image=image,
+                                  strength=strength)
         return [Image.fromarray(arr[i]) for i in range(arr.shape[0])]

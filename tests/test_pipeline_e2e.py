@@ -316,3 +316,43 @@ def test_tiled_vae_decode_pipeline(pipe, monkeypatch):
     # same latent, different GN statistics per tile: images remain similar
     d = np.abs(tiled.astype(np.float32) - base.astype(np.float32))
     assert d.mean() < 48, d.mean()
+
+def test_img2img(pipe):
+    """img2img: truncated flow-match schedule from a VAE-encoded init image
+    (reference has no img2img; semantics follow diffusers
+    FluxImg2ImgPipeline). Deterministic; strength=1.0 degenerates to the
+    text-to-image output; low strength stays closer to the init image than
+    high strength."""
+    rng = np.random.default_rng(0)
+    init = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    p4 = DiffusionGenerationParams(
+        height=64, width=64, num_steps=4, guidance_scale=0.0, seed=42
+    )
+    a = np.asarray(pipe._inner.img2img(["a photo"], p4, init, strength=0.5)[0])
+    b = np.asarray(pipe._inner.img2img(["a photo"], p4, init, strength=0.5)[0])
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (64, 64, 3)
+
+    # strength=1.0 == text-to-image (sigma0 = 1 -> the init latent drops out)
+    t2i = np.asarray(pipe.forward_images(["a photo"], p4)[0])
+    full = np.asarray(pipe._inner.img2img(["a photo"], p4, init, strength=1.0)[0])
+    d = np.abs(full.astype(np.float32) - t2i.astype(np.float32))
+    assert d.mean() < 1.0 and d.max() <= 16, (d.mean(), d.max())
+
+    # lower strength -> output closer to the (VAE-roundtripped) init image
+    weak = np.asarray(pipe._inner.img2img(["a photo"], p4, init, strength=0.25)[0])
+    def dist(x):
+        return np.abs(x.astype(np.float32) - init.astype(np.float32)).mean()
+    assert dist(weak) < dist(full), (dist(weak), dist(full))
+
+
+def test_img2img_validation(pipe):
+    rng = np.random.default_rng(0)
+    init = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    p2 = DiffusionGenerationParams(
+        height=64, width=64, num_steps=2, guidance_scale=0.0, seed=1
+    )
+    with pytest.raises(ValueError, match="strength"):
+        pipe._inner.img2img(["a"], p2, init, strength=0.0)
+    with pytest.raises(ValueError, match="init images"):
+        pipe._inner.img2img(["a", "b"], p2, [init], strength=0.5)
