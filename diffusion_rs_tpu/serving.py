@@ -117,8 +117,15 @@ class FluxServer:
 
     # -- request intake --------------------------------------------------------
 
-    def submit(self, prompt: str, params) -> Future:
-        """Enqueue one prompt; the Future resolves to a u8 HxWx3 array."""
+    def submit(self, prompt: str, params, init_image=None,
+               strength: float = 0.6) -> Future:
+        """Enqueue one prompt; the Future resolves to a u8 HxWx3 array.
+
+        ``init_image`` switches this lane to img2img: the lane's schedule is
+        truncated and its start latent interpolated with the VAE-encoded
+        image (same construction as FluxPipeline.img2img) — t2i and i2i
+        lanes continuous-batch together since every lane carries its own
+        (latent, sigmas)."""
         fut: Future = Future()
         p = self.pipe
         # encode on the submitting thread (jitted, batch-1 graph reused)
@@ -144,7 +151,21 @@ class FluxServer:
             mu=mu if p.scheduler.use_dynamic_shifting else None,
         )
         seed = params.seed if params.seed is not None else time.time_ns() % (1 << 31)
-        noise = get_noise(jax.random.PRNGKey(seed), 1, params.height, params.width)
+        key = jax.random.PRNGKey(seed)
+        noise = get_noise(key, 1, params.height, params.width)
+        if init_image is not None:
+            if not 0.0 < strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            steps_run = max(
+                1, min(int(round(params.num_steps * strength)), params.num_steps)
+            )
+            sigmas = sigmas[params.num_steps - steps_run:]
+            x = p._prepare_image_batch(init_image, 1, params)
+            lat = p._encode_image_jit(
+                p._component("vae", p.vae_params), x, jax.random.fold_in(key, 1)
+            )
+            sig0 = float(sigmas[0])
+            noise = sig0 * noise + (1.0 - sig0) * lat.astype(noise.dtype)
         lane = _Lane(
             future=fut, prompt=prompt, params=params,
             latent=pack_latents(noise.astype(jnp.float32))[0],
@@ -376,7 +397,20 @@ def serve_http(server: FluxServer, host: str = "127.0.0.1", port: int = 8000,
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 prompt = body["prompt"]
-                fut = server.submit(prompt, params_fn(body))
+                init = None
+                if body.get("init_image_b64"):
+                    import base64
+
+                    from PIL import Image
+
+                    init = Image.open(
+                        io.BytesIO(base64.b64decode(body["init_image_b64"]))
+                    )
+                fut = server.submit(
+                    prompt, params_fn(body),
+                    init_image=init,
+                    strength=float(body.get("strength", 0.6)),
+                )
                 arr = fut.result()
                 from PIL import Image
 

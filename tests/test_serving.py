@@ -177,6 +177,29 @@ def test_http_server_generate_and_metrics(pipe):
         server.shutdown()
 
 
+def test_server_img2img_lane_matches_offline(pipe):
+    """img2img lanes continuous-batch alongside t2i lanes and reproduce the
+    offline FluxPipeline.img2img output."""
+    inner = pipe._inner
+    rng = np.random.default_rng(3)
+    init = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    p4 = _params(4, 9)
+    server = FluxServer(inner, max_batch=4)
+    try:
+        f_i2i = server.submit("a fox", p4, init_image=init, strength=0.5)
+        f_t2i = server.submit("a cat", _params(2, 1))
+        got_i2i = f_i2i.result(timeout=600)
+        got_t2i = f_t2i.result(timeout=600)
+    finally:
+        server.shutdown()
+    want = np.asarray(inner.img2img(["a fox"], p4, init, strength=0.5)[0])
+    d = np.abs(got_i2i.astype(np.float32) - want.astype(np.float32))
+    assert d.mean() < 1.0 and d.max() <= 16, (d.mean(), d.max())
+    want_t = inner.forward_arrays(["a cat"], _params(2, 1))[0]
+    d = np.abs(got_t2i.astype(np.float32) - want_t.astype(np.float32))
+    assert d.mean() < 1.0 and d.max() <= 16
+
+
 def test_server_rejects_indivisible_dp_batch(tmp_path):
     import jax
     from diffusion_rs_tpu.parallel import make_mesh
