@@ -307,7 +307,9 @@ def quantized_matmul(
     out_dtype=None,
     interpret: bool = False,
     bm_cap: int = 1536,
-    bn_cap: int = 512,
+    # bn 1024 measured +7% on the wide single-block MLP linears (N=21504:
+    # halves the x-block refetch count) and neutral at square FLUX shapes.
+    bn_cap: int = 1024,
 ) -> jnp.ndarray:
     """``x [..., K] @ deq(qt) [K, N] -> [..., N]`` with weights staying packed
     in HBM. Falls back to XLA dequant+matmul for shapes the kernel tiling
