@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--imatrix", default=None, metavar="FILE",
                    help="importance-matrix file (llama.cpp format) for "
                         "error-minimizing --isq; keys are dotted param paths")
+    p.add_argument("--lora", default=None, metavar="FILE",
+                   help="diffusers-format FLUX LoRA safetensors to apply")
+    p.add_argument("--lora-scale", type=float, default=1.0)
     p.add_argument("--token", default=None)
     p.add_argument("--revision", default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -87,6 +90,8 @@ def main(argv=None) -> int:
         dtype=ModelDType(args.dtype),
         isq=args.isq,
         imatrix=args.imatrix,
+        lora=args.lora,
+        lora_scale=args.lora_scale,
     )
 
     def generate(prompt: str, height: int, width: int, out_path: str):

@@ -32,15 +32,22 @@ from .qmatmul_pallas import quantized_matmul, supports
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("w", "b"),
+    data_fields=("w", "b", "lora"),
     meta_fields=(),
 )
 @dataclasses.dataclass
 class Linear:
-    """Weight ``[K, N]`` (K-major — input features first) + optional bias."""
+    """Weight ``[K, N]`` (K-major — input features first) + optional bias.
+
+    ``lora``: optional low-rank adapter ``(a [.., K, r], bl [.., r, N])``
+    applied at runtime as ``y += (x @ a) @ bl`` (the LoRA scale alpha/r is
+    folded into ``bl`` at load time). Used for quantized base weights,
+    where fusing the delta would require requantization; dense weights get
+    LoRA deltas fused directly (io/lora.py)."""
 
     w: Union[jax.Array, QuantizedTensor]
     b: Optional[jax.Array] = None
+    lora: Optional[tuple] = None
 
     @property
     def in_features(self) -> int:
@@ -80,6 +87,13 @@ def linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
             )
     else:
         y = jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if lin.lora is not None:
+        a, bl = lin.lora
+        y = y + jnp.matmul(
+            jnp.matmul(x, a.astype(x.dtype)),
+            bl.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     if lin.b is not None:
         y = y + lin.b
     return y

@@ -90,6 +90,8 @@ class Pipeline:
         dtype: ModelDType = ModelDType.Auto,
         isq: Optional[str] = None,
         imatrix: Optional[str] = None,
+        lora: Optional[str] = None,
+        lora_scale: float = 1.0,
         mesh=None,
     ):
         """``isq``: in-situ-quantize dense transformer linears at load
@@ -98,6 +100,10 @@ class Pipeline:
         llama.cpp-format importance-matrix file; with ``isq`` set, matched
         linears get importance-weighted (error-minimizing) quantization
         (quantize_imatrix equivalent, quantized/mod.rs:110).
+
+        ``lora``: path to a diffusers-format FLUX LoRA safetensors file;
+        dense linears get the delta fused, quantized linears get a runtime
+        low-rank term. ``lora_scale`` multiplies the trained alpha/r.
 
         ``mesh``: a jax.sharding.Mesh (see parallel.make_mesh) — weights are
         placed tensor-parallel over its "tp" axis and prompts are batched
@@ -114,6 +120,8 @@ class Pipeline:
             dtype=dtype,
             isq=isq,
             imatrix=imatrix,
+            lora=lora,
+            lora_scale=lora_scale,
             mesh=mesh,
         )
 

@@ -95,6 +95,8 @@ def load_pipeline(
     dtype: ModelDType = ModelDType.Auto,
     isq: Optional[str] = None,
     imatrix: Optional[str] = None,
+    lora: Optional[str] = None,
+    lora_scale: float = 1.0,
     mesh=None,
 ) -> FluxPipeline:
     loader = FileLoader(
@@ -224,6 +226,16 @@ def load_pipeline(
                     "applied ISQ (%s%s) to transformer linears", isq,
                     ", imatrix-weighted" if imat else "",
                 )
+        if lora:
+            # after ISQ: quantized bases get the runtime low-rank term, so
+            # LoRA quality does not pass through the quantizer
+            from ..io.lora import apply_flux_lora
+
+            flux_params = apply_flux_lora(
+                flux_params, flux_cfg, lora, scale=lora_scale, dtype=dt
+            )
+            if not silent:
+                log.info("applied LoRA %s (scale %.2f)", lora, lora_scale)
         # qkv fusion is opt-in: inside one jit graph XLA already pipelines
         # the separate projections, and the fused variant measured ~6% slower
         # at 1024^2 (the wide-output split outweighs saved dispatches).
