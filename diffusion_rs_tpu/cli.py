@@ -49,8 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="non-interactive: generate once and exit")
     p.add_argument("--init-image", default=None, metavar="FILE",
                    help="img2img: start from this image instead of noise")
-    p.add_argument("--strength", type=float, default=0.6,
-                   help="img2img denoise strength in (0, 1]")
+    p.add_argument("--strength", type=float, default=None,
+                   help="denoise strength in (0, 1] (default 0.6 for "
+                        "img2img, 1.0 for inpainting)")
+    p.add_argument("--mask-image", default=None, metavar="FILE",
+                   help="inpainting mask (white = repaint); requires --init-image")
     p.add_argument("-o", "--out", default="image.png")
     p.add_argument("--serve", action="store_true",
                    help="start the continuous-batching HTTP server "
@@ -104,7 +107,13 @@ def main(argv=None) -> int:
             from PIL import Image
 
             init = Image.open(args.init_image)
-            img = pipe.img2img_images([prompt], params, init, args.strength)[0]
+            if args.mask_image:
+                mask = Image.open(args.mask_image)
+                img = pipe.inpaint_images(
+                    [prompt], params, init, mask, args.strength or 1.0)[0]
+            else:
+                img = pipe.img2img_images(
+                    [prompt], params, init, args.strength or 0.6)[0]
         else:
             img = pipe.forward_images([prompt], params)[0]
         print(f"Took: {time.time() - t0:.2f}s")

@@ -168,3 +168,32 @@ class Pipeline:
         strength: float = 0.6,
     ):
         return self._inner.img2img(list(prompts), params, image, strength)
+
+    def inpaint(
+        self,
+        prompts: Sequence[str],
+        params: DiffusionGenerationParams,
+        image,
+        mask,
+        strength: float = 1.0,
+    ) -> list[bytes]:
+        """Repaint the white region of ``mask`` guided by the prompt;
+        unmasked pixels are pinned to the init image (renoised per step —
+        diffusers FluxInpaintPipeline construction). Returns PNG bytes."""
+        images = self._inner.inpaint(list(prompts), params, image, mask, strength)
+        out = []
+        for img in images:
+            buf = _io.BytesIO()
+            img.save(buf, format="PNG")
+            out.append(buf.getvalue())
+        return out
+
+    def inpaint_images(
+        self,
+        prompts: Sequence[str],
+        params: DiffusionGenerationParams,
+        image,
+        mask,
+        strength: float = 1.0,
+    ):
+        return self._inner.inpaint(list(prompts), params, image, mask, strength)

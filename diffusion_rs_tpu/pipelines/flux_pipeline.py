@@ -117,7 +117,8 @@ class FluxPipeline:
             _, y = clip_encode(clip_params, self.clip_cfg, clip_ids)
         return txt, y.astype(dt)
 
-    def _denoise(self, flux_params, txt, y, sigmas, guidance, noise, *, height, width):
+    def _denoise(self, flux_params, txt, y, sigmas, guidance, noise,
+                 inpaint=None, *, height, width):
         dt = self.dtype
         bs = txt.shape[0]
         img = pack_latents(noise.astype(dt))
@@ -134,7 +135,7 @@ class FluxPipeline:
             )
 
         with trace_span("denoise"):
-            return denoise_scan(step, img, sigmas)
+            return denoise_scan(step, img, sigmas, inpaint=inpaint)
 
     def _pre_decode(self, latent, *, height, width):
         latent = unpack_latents(latent, height, width)
@@ -207,7 +208,7 @@ class FluxPipeline:
     # -- host front-end -------------------------------------------------------
 
     def forward_arrays(self, prompts: List[str], params, init_image=None,
-                       strength: float = 0.6) -> np.ndarray:
+                       strength: float = 0.6, mask_image=None) -> np.ndarray:
         """Returns u8 NHWC images [B, H, W, 3].
 
         ``init_image`` (PIL image / u8 array, or a list of them, one per
@@ -227,7 +228,8 @@ class FluxPipeline:
         # DIFFUSION_RS_TPU_TRACE_DIR=... captures a jax.profiler trace of the
         # whole generation (encode/denoise/decode named scopes inside).
         with ctx, maybe_profile("generate"):
-            return self._forward_arrays(prompts, params, init_image, strength)
+            return self._forward_arrays(prompts, params, init_image, strength,
+                                        mask_image)
 
     def _prepare_image_batch(self, image, b: int, params) -> jnp.ndarray:
         """PIL/array image(s) -> [-1,1] f32 NHWC at the rounded resolution."""
@@ -246,8 +248,24 @@ class FluxPipeline:
             out.append(np.asarray(im, np.float32) / 127.5 - 1.0)
         return jnp.asarray(np.stack(out), self.dtype)
 
+    def _prepare_mask(self, mask_image, b: int, params) -> jnp.ndarray:
+        """Mask (PIL/array; white = repaint) -> packed [B, S, 64] f32 in the
+        packed-latent channel order (c*4 + ph*2 + pw — subcell granularity,
+        8 px per latent pixel)."""
+        from PIL import Image
+
+        h = (params.height + 15) // 16 * 2
+        w = (params.width + 15) // 16 * 2
+        if not isinstance(mask_image, Image.Image):
+            mask_image = Image.fromarray(np.asarray(mask_image))
+        m = mask_image.convert("L").resize((w, h), Image.BILINEAR)
+        m = np.asarray(m, np.float32)[None, None] / 255.0  # [1,1,h,w]
+        m = np.repeat(m, b, axis=0)
+        packed = pack_latents(jnp.asarray(m))          # [B, S, 4]
+        return jnp.tile(packed, (1, 1, 16))            # -> [B, S, 64]
+
     def _forward_arrays(self, prompts: List[str], params, init_image=None,
-                        strength: float = 0.6) -> np.ndarray:
+                        strength: float = 0.6, mask_image=None) -> np.ndarray:
         # T5 context: the variant default (512 dev / 256 schnell-hard-cap,
         # flux/mod.rs:243-253) unless the caller passes max_sequence_length
         # (diffusers-compatible override). The schnell cap stays a hard error
@@ -310,6 +328,9 @@ class FluxPipeline:
         seed = params.seed if params.seed is not None else int(time.time_ns() % (1 << 31))
         key = jax.random.PRNGKey(seed)
         noise = get_noise(key, len(prompts), params.height, params.width)
+        inpaint = None
+        if mask_image is not None and init_image is None:
+            raise ValueError("mask_image requires init_image (inpainting)")
         if init_image is not None:
             if not 0.0 < strength <= 1.0:
                 raise ValueError(f"strength must be in (0, 1], got {strength}")
@@ -326,7 +347,18 @@ class FluxPipeline:
             )
             self._release("vae")
             sig0 = float(sigmas[0])
+            pure_noise = noise
             noise = sig0 * noise + (1.0 - sig0) * lat.astype(noise.dtype)
+            if mask_image is not None:
+                if self.streamed is not None:
+                    raise NotImplementedError(
+                        "inpainting with Offloading.Stream is not supported"
+                    )
+                inpaint = (
+                    self._prepare_mask(mask_image, len(prompts), params),
+                    pack_latents(lat.astype(jnp.float32)),
+                    pack_latents(pure_noise.astype(jnp.float32)),
+                )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -341,7 +373,7 @@ class FluxPipeline:
         else:
             latent = self._denoise_jit(
                 self._component("flux", self.flux_params),
-                txt, y, sigmas, guidance, noise,
+                txt, y, sigmas, guidance, noise, inpaint,
                 height=params.height, width=params.width,
             )
             latent.block_until_ready()
@@ -395,4 +427,16 @@ class FluxPipeline:
 
         arr = self.forward_arrays(prompts, params, init_image=image,
                                   strength=strength)
+        return [Image.fromarray(arr[i]) for i in range(arr.shape[0])]
+
+    def inpaint(self, prompts: List[str], params, image, mask,
+                strength: float = 1.0) -> list:
+        """Inpainting: repaint the white region of ``mask`` guided by the
+        prompt; the rest is pinned to the (renoised) init latent every step
+        (diffusers FluxInpaintPipeline construction). ``strength`` as in
+        img2img (1.0 = full schedule over the masked region)."""
+        from PIL import Image
+
+        arr = self.forward_arrays(prompts, params, init_image=image,
+                                  strength=strength, mask_image=mask)
         return [Image.fromarray(arr[i]) for i in range(arr.shape[0])]

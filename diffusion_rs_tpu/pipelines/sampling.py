@@ -68,12 +68,20 @@ def denoise_scan(
     step_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     img: jnp.ndarray,
     sigmas: jnp.ndarray,
+    inpaint=None,
 ) -> jnp.ndarray:
     """Euler flow-match loop under lax.scan (pipelines/sampling.rs:25-48):
     per window (t_curr, t_prev): img += pred(img, t_curr) * (t_prev - t_curr).
 
     ``step_fn(img_f32, t_scalar) -> pred`` (the model call); ``sigmas`` has
     num_steps+1 entries. Carry is f32.
+
+    ``inpaint``: optional ``(mask, init, noise)`` packed f32 arrays
+    ([B,S,1-or-C], [B,S,C], [B,S,C]). After every Euler update the carry is
+    blended ``mask*x + (1-mask)*(tp*noise + (1-tp)*init)`` — unmasked
+    regions are pinned to the correctly-renoised init latent each step
+    (diffusers FluxInpaintPipeline construction; at the final tp=0 they are
+    exactly the init latent).
     """
     import os
 
@@ -94,7 +102,12 @@ def denoise_scan(
                 lambda i_, t_: print(f"denoise step {int(i_) + 1}/{n_steps} (t={float(t_):.3f})"),
                 i, tc, ordered=True,
             )
-        return carry + pred.astype(jnp.float32) * (tp - tc), None
+        x = carry + pred.astype(jnp.float32) * (tp - tc)
+        if inpaint is not None:
+            mask, init, noise = inpaint
+            renoised = tp * noise + (1.0 - tp) * init
+            x = mask * x + (1.0 - mask) * renoised
+        return x, None
 
     steps = jnp.arange(n_steps)
     out, _ = jax.lax.scan(body, img, (steps, t_curr, t_prev))

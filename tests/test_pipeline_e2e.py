@@ -356,3 +356,40 @@ def test_img2img_validation(pipe):
         pipe._inner.img2img(["a"], p2, init, strength=0.0)
     with pytest.raises(ValueError, match="init images"):
         pipe._inner.img2img(["a", "b"], p2, [init], strength=0.5)
+
+def test_inpaint(pipe):
+    """Inpainting: unmasked pixels must round-trip the VAE nearly unchanged
+    (they are pinned to the init latent at every step); the masked region is
+    repainted. Deterministic."""
+    rng = np.random.default_rng(0)
+    init = np.full((64, 64, 3), 128, np.uint8)
+    init[:, :, 0] = rng.integers(100, 156, size=(64, 64))
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255  # repaint the center square
+    p4 = DiffusionGenerationParams(
+        height=64, width=64, num_steps=4, guidance_scale=0.0, seed=11
+    )
+    a = np.asarray(pipe._inner.inpaint(["a red square"], p4, init, mask)[0])
+    b = np.asarray(pipe._inner.inpaint(["a red square"], p4, init, mask)[0])
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (64, 64, 3)
+    # Unmasked latents are pinned, but the conv decoder's receptive field
+    # and global GroupNorm stats let repainted content bleed a little across
+    # the boundary — compare regions RELATIVELY against the all-pinned
+    # round-trip (mask of zeros): the repainted center must move much more
+    # than the pinned border.
+    roundtrip = np.asarray(
+        pipe._inner.inpaint(["x"], p4, init, np.zeros((64, 64), np.uint8))[0]
+    )
+    border = np.s_[0:8, :, :]
+    center = np.s_[24:40, 24:40, :]
+    d_border = np.abs(a[border].astype(np.float32) - roundtrip[border].astype(np.float32))
+    d_center = np.abs(a[center].astype(np.float32) - roundtrip[center].astype(np.float32))
+    assert d_center.mean() > 2.0 * d_border.mean(), (
+        d_center.mean(), d_border.mean())
+
+
+def test_inpaint_requires_init(pipe):
+    p2 = DiffusionGenerationParams(height=64, width=64, num_steps=2, seed=1)
+    with pytest.raises(ValueError, match="mask_image requires init_image"):
+        pipe._inner.forward_arrays(["a"], p2, mask_image=np.zeros((64, 64), np.uint8))
