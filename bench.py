@@ -245,6 +245,93 @@ def bench_image(args, preset) -> int:
     return 0
 
 
+def bench_serve(args, preset) -> int:
+    """Serving throughput: N queued prompts through FluxServer's continuous
+    batching vs the same prompts sequentially — the server's win is batching
+    lanes at different denoise steps into shared forwards."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from diffusion_rs_tpu.models.clip import ClipTextConfig, init_clip_params
+    from diffusion_rs_tpu.models.flux import FluxConfig, init_flux_params
+    from diffusion_rs_tpu.models.t5 import T5Config, init_t5_params
+    from diffusion_rs_tpu.models.vae import VAEConfig, init_vae_params
+    from diffusion_rs_tpu.pipelines.api import DiffusionGenerationParams
+    from diffusion_rs_tpu.pipelines.flux_pipeline import FluxPipeline
+    from diffusion_rs_tpu.pipelines.scheduler import SchedulerConfig
+    from diffusion_rs_tpu.serving import FluxServer
+    from diffusion_rs_tpu.util.synthetic import (
+        init_flux_params_quantized,
+        init_t5_params_quantized,
+    )
+
+    dtype = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    if args.small:
+        flux_cfg = FluxConfig(
+            in_channels=64, pooled_projection_dim=64, joint_attention_dim=64,
+            num_attention_heads=4, num_layers=2, num_single_layers=4,
+            guidance_embeds=False, hidden_size=128, axes_dim=(8, 12, 12),
+        )
+        t5_cfg = T5Config(vocab_size=512, d_model=64, d_kv=16, d_ff=128,
+                          num_layers=2, num_heads=4)
+        clip_cfg = ClipTextConfig(vocab_size=512, projection_dim=64,
+                                  intermediate_size=128, num_hidden_layers=2,
+                                  num_attention_heads=4)
+        vae_cfg = VAEConfig(block_out_channels=(32, 32), norm_num_groups=8,
+                            latent_channels=16)
+        res, steps, n_req = 128, 2, 6
+        flux_params = init_flux_params(ks[0], flux_cfg, dtype)
+        t5_params = init_t5_params(ks[1], t5_cfg, dtype)
+    else:
+        flux_cfg = FluxConfig(guidance_embeds=False)  # schnell-style serving
+        t5_cfg, clip_cfg, vae_cfg = T5Config(), ClipTextConfig(), VAEConfig()
+        res, steps, n_req = args.res, 4, 8
+        flux_params = init_flux_params_quantized(ks[0], flux_cfg, dtype)
+        t5_params = init_t5_params_quantized(ks[1], t5_cfg, dtype)
+    clip_params = init_clip_params(ks[2], clip_cfg, dtype)
+    vae_params = init_vae_params(ks[3], vae_cfg, dtype)
+    pipe = FluxPipeline(
+        flux_params=flux_params, flux_cfg=flux_cfg,
+        t5_params=t5_params, t5_cfg=t5_cfg,
+        clip_params=clip_params, clip_cfg=clip_cfg,
+        vae_params=vae_params, vae_cfg=vae_cfg,
+        scheduler=SchedulerConfig(use_dynamic_shifting=False),
+        t5_tokenizer=_WordTokenizer(t5_cfg.vocab_size),
+        clip_tokenizer=_WordTokenizer(clip_cfg.vocab_size),
+        dtype=dtype, silent=True,
+    )
+    gp = DiffusionGenerationParams(
+        height=res, width=res, num_steps=steps, guidance_scale=0.0, seed=1)
+    prompts = [f"subject number {i}" for i in range(n_req)]
+    # sequential reference (also warms every compile the server needs)
+    t0 = time.perf_counter()
+    for p in prompts:
+        pipe.forward_arrays([p], gp)
+    seq_s = time.perf_counter() - t0
+    server = FluxServer(pipe, max_batch=args.batch if args.batch > 1 else 4)
+    try:
+        # warm the batched-step graphs
+        [f.result() for f in [server.submit(p, gp) for p in prompts]]
+        t0 = time.perf_counter()
+        futs = [server.submit(p, gp) for p in prompts]
+        [f.result() for f in futs]
+        srv_s = time.perf_counter() - t0
+        occ = server.stats()["occupancy"]
+    finally:
+        server.shutdown()
+    print(json.dumps({
+        "metric": f"FLUX.1-schnell {res}x{res} serving throughput "
+                  f"({n_req} requests, {steps} steps, max_batch "
+                  f"{server.max_batch}, occupancy {occ:.0%}; sequential "
+                  f"{n_req/seq_s:.3f} img/s)",
+        "value": round(n_req / srv_s, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(seq_s / srv_s, 4),
+    }))
+    return 0
+
+
 def bench_step(args, preset) -> int:
     """Round-1 metric: transformer denoise step only (synthetic weights)."""
     jax = _setup_jax()
@@ -398,9 +485,10 @@ def bench_step(args, preset) -> int:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["image", "step"], default="image",
+    ap.add_argument("--mode", choices=["image", "step", "serve"], default="image",
                     help="image = whole pipeline (encode+denoise+decode); "
-                         "step = transformer denoise step only")
+                         "step = transformer denoise step only; "
+                         "serve = continuous-batching throughput vs sequential")
     ap.add_argument("--small", action="store_true", help="CPU-sized smoke config")
     ap.add_argument("--steps", type=int, default=8, help="timed denoise steps (step mode)")
     ap.add_argument("--steps-image", type=int, default=None,
@@ -414,6 +502,8 @@ def main():
     args = ap.parse_args()
     preset = PRESETS.get(args.preset)
 
+    if args.mode == "serve":
+        return bench_serve(args, preset)
     # the bf16 streamed config only has a step-mode harness
     if args.mode == "step" or args.preset == "dev-1024-bf16":
         return bench_step(args, preset)
