@@ -304,7 +304,10 @@ def bench_serve(args, preset) -> int:
     gp = DiffusionGenerationParams(
         height=res, width=res, num_steps=steps, guidance_scale=0.0, seed=1)
     prompts = [f"subject number {i}" for i in range(n_req)]
-    # sequential reference (also warms every compile the server needs)
+    # warm every sequential compile first, then time warm runs — otherwise
+    # seq_s would include minutes of jit compilation and wildly overstate
+    # the serving speedup
+    pipe.forward_arrays([prompts[0]], gp)
     t0 = time.perf_counter()
     for p in prompts:
         pipe.forward_arrays([p], gp)

@@ -109,11 +109,12 @@ def main(argv=None) -> int:
             init = Image.open(args.init_image)
             if args.mask_image:
                 mask = Image.open(args.mask_image)
+                strength = 1.0 if args.strength is None else args.strength
                 img = pipe.inpaint_images(
-                    [prompt], params, init, mask, args.strength or 1.0)[0]
+                    [prompt], params, init, mask, strength)[0]
             else:
-                img = pipe.img2img_images(
-                    [prompt], params, init, args.strength or 0.6)[0]
+                strength = 0.6 if args.strength is None else args.strength
+                img = pipe.img2img_images([prompt], params, init, strength)[0]
         else:
             img = pipe.forward_images([prompt], params)[0]
         print(f"Took: {time.time() - t0:.2f}s")

@@ -152,6 +152,23 @@ def apply_flux_lora(params, cfg, path: str, scale: float = 1.0,
     pairs = read_lora_file(path)
     if not pairs:
         raise ValueError(f"{path}: no LoRA A/B pairs found")
+    # Files often bundle text-encoder adapters alongside the transformer
+    # factors (civitai-style); our encoders follow the reference and take no
+    # adapters — skip those groups loudly rather than refusing the file.
+    te_prefixes = ("text_encoder.", "text_encoder_2.", "te1.", "te2.",
+                   "lora_te1_", "lora_te2_", "lora_te_")
+    te_keys = [k for k in pairs if k.startswith(te_prefixes)]
+    for k in te_keys:
+        del pairs[k]
+    if te_keys:
+        log.warning(
+            "LoRA %s: skipping %d text-encoder adapter groups (encoders "
+            "take no adapters here)", path, len(te_keys),
+        )
+    if not pairs:
+        raise ValueError(
+            f"{path}: only text-encoder adapters present; nothing to apply"
+        )
     unmatched = []
     # target tree path -> {layer: (A, B, s)}
     grouped: Dict[tuple, dict] = {}

@@ -25,6 +25,9 @@ def _fuse_linears(lins) -> Linear:
         w = jnp.concatenate(ws, axis=-1)
     else:
         raise ValueError("cannot fuse mixed dense/quantized linears")
+    if any(l.lora is not None for l in lins):
+        # concatenating would drop the runtime low-rank terms silently
+        raise ValueError("cannot fuse linears carrying runtime LoRA terms")
     bs = [l.b for l in lins]
     if all(b is not None for b in bs):
         b = jnp.concatenate(bs, axis=-1)

@@ -89,10 +89,13 @@ def _dequant_tile(packed, scale, bias, codebook, *, bits, group, bk,
             # integer, so the sum is exact in bf16 — avoids the q*s + (-8s)
             # cancellation that doubles relative error in 16-bit math.
             # Computed on the small [rows, bn] plane in f32 (one divide).
+            # Groups with scale == 0 but bias != 0 (k-quant formats where
+            # bias = -dmin*m is independent of scale) keep the plain bias
+            # add so they still dequantize to bias, matching the f32 path.
             off = jnp.where(
                 scale == 0.0, 0.0, bias / jnp.where(scale == 0.0, 1.0, scale)
             ).astype(vdt)
-            bias = None
+            bias = jnp.where(scale == 0.0, bias, 0.0)
     scale = scale.astype(vdt)
     if bias is not None:
         bias = bias.astype(vdt)

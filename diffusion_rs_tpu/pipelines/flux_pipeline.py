@@ -32,6 +32,7 @@ from ..util.tracing import maybe_profile, trace_span
 from .sampling import (
     denoise_scan,
     get_noise,
+    latent_hw,
     make_img_ids,
     make_txt_ids,
     pack_latents,
@@ -165,9 +166,7 @@ class FluxPipeline:
         import os
 
         tile = int(os.environ.get("DIFFUSION_RS_TPU_VAE_TILE", "128"))
-        lat_side = max(
-            ((height + 15) // 16) * 2, ((width + 15) // 16) * 2
-        )
+        lat_side = max(latent_hw(height, width))
         if tile <= 0 or lat_side <= self._TILE_DECODE_ABOVE:
             return self._decode_jit(
                 vae_params, latent, height=height, width=width
@@ -254,8 +253,7 @@ class FluxPipeline:
         8 px per latent pixel)."""
         from PIL import Image
 
-        h = (params.height + 15) // 16 * 2
-        w = (params.width + 15) // 16 * 2
+        h, w = latent_hw(params.height, params.width)
         if not isinstance(mask_image, Image.Image):
             mask_image = Image.fromarray(np.asarray(mask_image))
         m = mask_image.convert("L").resize((w, h), Image.BILINEAR)

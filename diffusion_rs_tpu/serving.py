@@ -164,6 +164,7 @@ class FluxServer:
             lat = p._encode_image_jit(
                 p._component("vae", p.vae_params), x, jax.random.fold_in(key, 1)
             )
+            p._release("vae")
             sig0 = float(sigmas[0])
             noise = sig0 * noise + (1.0 - sig0) * lat.astype(noise.dtype)
         lane = _Lane(
@@ -252,87 +253,102 @@ class FluxServer:
             if not self._active:
                 time.sleep(self.poll_s)
                 continue
-            for group in self._groups():
-                lanes = group.lanes[: self.max_batch]
-                b = len(lanes)
-                latents = jnp.stack([ln.latent for ln in lanes])
-                txts = jnp.stack([ln.txt for ln in lanes])
-                ys = jnp.stack([ln.y for ln in lanes])
-                ts = jnp.asarray([ln.sigmas[ln.step] for ln in lanes], jnp.float32)
-                dts = jnp.asarray(
-                    [ln.sigmas[ln.step + 1] - ln.sigmas[ln.step] for ln in lanes],
-                    jnp.float32,
-                )
-                gs = jnp.asarray([ln.guidance for ln in lanes], jnp.float32)
-                # pad to the next power-of-two bucket (x dp multiple): at most
-                # log2(max_batch) graphs per shape-group, and a lone request
-                # doesn't pay a full max_batch forward
-                bucket = self._dp
-                while bucket < b:
-                    bucket *= 2
-                bucket = min(bucket, self.max_batch)
-                if b < bucket:
-                    padn = bucket - b
-                    latents = jnp.concatenate(
-                        [latents, jnp.repeat(latents[:1], padn, 0)])
-                    txts = jnp.concatenate([txts, jnp.repeat(txts[:1], padn, 0)])
-                    ys = jnp.concatenate([ys, jnp.repeat(ys[:1], padn, 0)])
-                    ts = jnp.concatenate([ts, jnp.repeat(ts[:1], padn)])
-                    dts = jnp.concatenate([dts, jnp.zeros((padn,), jnp.float32)])
-                    gs = jnp.concatenate([gs, jnp.repeat(gs[:1], padn)])
-                if self._mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    dp_sh = NamedSharding(self._mesh, P("dp"))
-                    latents, txts, ys, ts, dts, gs = (
-                        jax.device_put(a, dp_sh)
-                        for a in (latents, txts, ys, ts, dts, gs)
-                    )
-                    with jax.sharding.set_mesh(self._mesh):
-                        out = self._step_jit(
-                            p._component("flux", p.flux_params),
-                            latents, txts, ys, ts, dts, gs, group.pe,
-                        )
-                else:
-                    out = self._step_jit(
-                        p._component("flux", p.flux_params),
-                        latents, txts, ys, ts, dts, gs, group.pe,
-                    )
-                for i, ln in enumerate(lanes):
-                    ln.latent = out[i]
-                    ln.step += 1
+            try:
+                self._tick(p)
+            except Exception as e:
+                # A failed batched step (OOM, bad shapes) must not kill the
+                # scheduler thread — that would wedge every Future forever.
+                # Fail the lanes that were in flight and keep serving.
+                for ln in self._active:
+                    if not ln.future.done():
+                        ln.future.set_exception(e)
                 with self._lock:
-                    self._m["forwards"] += 1
-                    self._m["lane_steps"] += b
-                    self._m["padded_lane_steps"] += bucket - b
-            # retire finished lanes (decode individually — frees the lane
-            # for the next queued request immediately)
-            still = []
-            for ln in self._active:
-                if not ln.done:
-                    still.append(ln)
-                    continue
-                try:
-                    img = p._decode_any(
-                        p._component("vae", p.vae_params),
-                        ln.latent[None],
-                        height=ln.params.height, width=ln.params.width,
-                    )
-                    ln.future.set_result(np.asarray(jax.device_get(img))[0])
-                    with self._lock:
-                        self._m["completed"] += 1
-                        self._m["latency_sum_s"] += (
-                            time.perf_counter() - ln.t_submit
-                        )
-                except Exception as e:  # pragma: no cover
-                    ln.future.set_exception(e)
-                    with self._lock:
-                        self._m["failed"] += 1
-            self._active = still
+                    self._m["failed"] += len(self._active)
+                self._active = []
         # drain on shutdown
         for ln in self._active + self._queue:
             if not ln.future.done():
                 ln.future.cancel()
+
+    def _tick(self, p):
+        """One scheduler tick: step every shape group, retire finished lanes."""
+        for group in self._groups():
+            lanes = group.lanes[: self.max_batch]
+            b = len(lanes)
+            latents = jnp.stack([ln.latent for ln in lanes])
+            txts = jnp.stack([ln.txt for ln in lanes])
+            ys = jnp.stack([ln.y for ln in lanes])
+            ts = jnp.asarray([ln.sigmas[ln.step] for ln in lanes], jnp.float32)
+            dts = jnp.asarray(
+                [ln.sigmas[ln.step + 1] - ln.sigmas[ln.step] for ln in lanes],
+                jnp.float32,
+            )
+            gs = jnp.asarray([ln.guidance for ln in lanes], jnp.float32)
+            # pad to the next power-of-two bucket (x dp multiple): at most
+            # log2(max_batch) graphs per shape-group, and a lone request
+            # doesn't pay a full max_batch forward
+            bucket = self._dp
+            while bucket < b:
+                bucket *= 2
+            bucket = min(bucket, self.max_batch)
+            if b < bucket:
+                padn = bucket - b
+                latents = jnp.concatenate(
+                    [latents, jnp.repeat(latents[:1], padn, 0)])
+                txts = jnp.concatenate([txts, jnp.repeat(txts[:1], padn, 0)])
+                ys = jnp.concatenate([ys, jnp.repeat(ys[:1], padn, 0)])
+                ts = jnp.concatenate([ts, jnp.repeat(ts[:1], padn)])
+                dts = jnp.concatenate([dts, jnp.zeros((padn,), jnp.float32)])
+                gs = jnp.concatenate([gs, jnp.repeat(gs[:1], padn)])
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dp_sh = NamedSharding(self._mesh, P("dp"))
+                latents, txts, ys, ts, dts, gs = (
+                    jax.device_put(a, dp_sh)
+                    for a in (latents, txts, ys, ts, dts, gs)
+                )
+                with jax.sharding.set_mesh(self._mesh):
+                    out = self._step_jit(
+                        p._component("flux", p.flux_params),
+                        latents, txts, ys, ts, dts, gs, group.pe,
+                    )
+            else:
+                out = self._step_jit(
+                    p._component("flux", p.flux_params),
+                    latents, txts, ys, ts, dts, gs, group.pe,
+                )
+            for i, ln in enumerate(lanes):
+                ln.latent = out[i]
+                ln.step += 1
+            with self._lock:
+                self._m["forwards"] += 1
+                self._m["lane_steps"] += b
+                self._m["padded_lane_steps"] += bucket - b
+        # retire finished lanes (decode individually — frees the lane
+        # for the next queued request immediately)
+        still = []
+        for ln in self._active:
+            if not ln.done:
+                still.append(ln)
+                continue
+            try:
+                img = p._decode_any(
+                    p._component("vae", p.vae_params),
+                    ln.latent[None],
+                    height=ln.params.height, width=ln.params.width,
+                )
+                ln.future.set_result(np.asarray(jax.device_get(img))[0])
+                with self._lock:
+                    self._m["completed"] += 1
+                    self._m["latency_sum_s"] += (
+                        time.perf_counter() - ln.t_submit
+                    )
+            except Exception as e:  # pragma: no cover
+                ln.future.set_exception(e)
+                with self._lock:
+                    self._m["failed"] += 1
+        self._active = still
 
 
 def serve_http(server: FluxServer, host: str = "127.0.0.1", port: int = 8000,

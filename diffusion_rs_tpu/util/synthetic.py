@@ -1,8 +1,10 @@
 """Synthetic weight factories for benchmarks (random weights, real shapes).
 
-Quantized tensors are generated DIRECTLY ON DEVICE (random packed nibbles +
-constant scale planes) — no host-side quantization pass and no 6GB H2D
-upload for a 12B-param benchmark model.
+Quantized planes are filled from ONE shared 64 MB host pool (key-derived
+offsets, tiled to size) and uploaded once — per-element RNG (numpy or XLA
+threefry) costs minutes for a 12B-param model on the 1-vCPU bench host;
+the values only need to be non-constant and non-dedupable. Dense leaves
+still use jax.random on the default device.
 """
 
 from __future__ import annotations
@@ -33,14 +35,16 @@ def _pool_u8(shape, key) -> np.ndarray:
     """
     global _pool
     if _pool is None:
-        _pool = np.random.default_rng(0x5EED).integers(
+        # doubled so any offset can be read as one contiguous 64MB window
+        base = np.random.default_rng(0x5EED).integers(
             0, 256, size=_POOL_N, dtype=np.uint8
         )
+        _pool = np.concatenate([base, base])
     n = int(np.prod(shape))
     off = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) % _POOL_N
-    rolled = np.roll(_pool, -off)
     reps = -(-n // _POOL_N)
-    out = np.tile(rolled, reps)[:n] if reps > 1 else rolled[:n].copy()
+    window = _pool[off:off + _POOL_N]  # view, no copy
+    out = np.tile(window, reps)[:n] if reps > 1 else window[:n].copy()
     return out.reshape(shape)
 
 

@@ -192,3 +192,38 @@ def test_unmatched_lora_keys_raise(tmp_path):
     })
     with pytest.raises(ValueError, match="do not match"):
         apply_flux_lora(params, cfg, str(tmp_path / "bad.safetensors"))
+
+
+def test_lora_skips_text_encoder_groups(tmp_path):
+    """Bundled text-encoder adapters are skipped (our encoders take no
+    adapters); transformer factors still apply. TE-only files error."""
+    from diffusion_rs_tpu.models.flux import FluxConfig, init_flux_params
+
+    cfg = FluxConfig(
+        in_channels=64, pooled_projection_dim=64, joint_attention_dim=64,
+        num_attention_heads=2, num_layers=2, num_single_layers=2,
+        guidance_embeds=False, hidden_size=FLUX_HIDDEN, axes_dim=(4, 6, 6),
+    )
+    params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(2)
+    t = {
+        "transformer.x_embedder.lora_A.weight":
+            rng.standard_normal((RANK, 64)).astype(np.float32),
+        "transformer.x_embedder.lora_B.weight":
+            rng.standard_normal((FLUX_HIDDEN, RANK)).astype(np.float32),
+        "text_encoder.layers.0.q.lora_A.weight":
+            np.zeros((RANK, 8), np.float32),
+        "text_encoder.layers.0.q.lora_B.weight":
+            np.zeros((8, RANK), np.float32),
+    }
+    save_safetensors(str(tmp_path / "mix.safetensors"), t)
+    before = np.asarray(params["img_in"].w).copy()
+    params = apply_flux_lora(params, cfg, str(tmp_path / "mix.safetensors"))
+    assert (np.asarray(params["img_in"].w) != before).any()
+
+    save_safetensors(str(tmp_path / "te.safetensors"), {
+        "text_encoder.layers.0.q.lora_A.weight": np.zeros((RANK, 8), np.float32),
+        "text_encoder.layers.0.q.lora_B.weight": np.zeros((8, RANK), np.float32),
+    })
+    with pytest.raises(ValueError, match="only text-encoder"):
+        apply_flux_lora(params, cfg, str(tmp_path / "te.safetensors"))
