@@ -227,3 +227,97 @@ def test_lora_skips_text_encoder_groups(tmp_path):
     })
     with pytest.raises(ValueError, match="only text-encoder"):
         apply_flux_lora(params, cfg, str(tmp_path / "te.safetensors"))
+
+
+def _tiny_cfg():
+    from diffusion_rs_tpu.models.flux import FluxConfig
+
+    return FluxConfig(
+        in_channels=64, pooled_projection_dim=64, joint_attention_dim=64,
+        num_attention_heads=2, num_layers=2, num_single_layers=2,
+        guidance_embeds=False, hidden_size=FLUX_HIDDEN, axes_dim=(4, 6, 6),
+    )
+
+
+def test_kohya_bfl_naming(tmp_path):
+    """sd-scripts/kohya FLUX LoRAs (lora_unet_* BFL underscore naming, fused
+    qkv factors) split correctly onto the diffusers-shaped tree."""
+    from diffusion_rs_tpu.models.flux import init_flux_params
+
+    cfg = _tiny_cfg()
+    h, mlp = cfg.hidden_size, cfg.mlp_size
+    params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((RANK, h)).astype(np.float32)
+    Bqkv = rng.standard_normal((3 * h, RANK)).astype(np.float32)
+    A1 = rng.standard_normal((RANK, h)).astype(np.float32)
+    B1 = rng.standard_normal((3 * h + mlp, RANK)).astype(np.float32)
+    t = {
+        "lora_unet_double_blocks_1_img_attn_qkv.lora_down.weight": A,
+        "lora_unet_double_blocks_1_img_attn_qkv.lora_up.weight": Bqkv,
+        "lora_unet_double_blocks_1_img_attn_qkv.alpha": np.float32(RANK),
+        "lora_unet_single_blocks_0_linear1.lora_down.weight": A1,
+        "lora_unet_single_blocks_0_linear1.lora_up.weight": B1,
+    }
+    save_safetensors(str(tmp_path / "k.safetensors"), t)
+    before_q = np.asarray(params["double"]["img_attn"]["q"].w).copy()
+    before_v = np.asarray(params["double"]["img_attn"]["v"].w).copy()
+    before_pm = np.asarray(params["single"]["proj_mlp"].w).copy()
+    params = apply_flux_lora(params, cfg, str(tmp_path / "k.safetensors"),
+                             dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(params["double"]["img_attn"]["q"].w)[1],
+        before_q[1] + A.T @ Bqkv[0:h].T, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["double"]["img_attn"]["v"].w)[1],
+        before_v[1] + A.T @ Bqkv[2 * h:3 * h].T, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["single"]["proj_mlp"].w)[0],
+        before_pm[0] + A1.T @ B1[3 * h:3 * h + mlp].T, rtol=1e-5, atol=1e-5)
+
+
+def test_lora_on_fused_tree(tmp_path):
+    """Trees with BFL fused layouts (qkv / qkv_mlp — e.g. single-file GGUF
+    loads, or DIFFUSION_RS_TPU_FUSE): per-part targets land in the fused
+    linear's column range; dense deltas and quantized runtime terms both."""
+    from diffusion_rs_tpu.models.flux import init_flux_params
+    from diffusion_rs_tpu.models.optimize import fuse_flux_qkv
+
+    cfg = _tiny_cfg()
+    h = cfg.hidden_size
+    params = fuse_flux_qkv(init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+    assert "qkv" in params["double"]["img_attn"]
+    rng = np.random.default_rng(8)
+    A = rng.standard_normal((RANK, h)).astype(np.float32)
+    B = rng.standard_normal((h, RANK)).astype(np.float32)
+    t = {
+        "transformer.transformer_blocks.0.attn.to_k.lora_A.weight": A,
+        "transformer.transformer_blocks.0.attn.to_k.lora_B.weight": B,
+    }
+    save_safetensors(str(tmp_path / "f.safetensors"), t)
+    before = np.asarray(params["double"]["img_attn"]["qkv"].w).copy()
+    params = apply_flux_lora(params, cfg, str(tmp_path / "f.safetensors"),
+                             dtype=jnp.float32)
+    after = np.asarray(params["double"]["img_attn"]["qkv"].w)
+    # k occupies fused columns [h, 2h)
+    np.testing.assert_allclose(
+        after[0][:, h:2 * h], before[0][:, h:2 * h] + A.T @ B.T,
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(after[0][:, :h], before[0][:, :h])
+    np.testing.assert_array_equal(after[0][:, 2 * h:], before[0][:, 2 * h:])
+
+    # quantized fused tree -> merged runtime term, column-placed
+    from diffusion_rs_tpu.util.synthetic import init_flux_params_quantized
+
+    qparams = init_flux_params_quantized(jax.random.PRNGKey(1), cfg)
+    from diffusion_rs_tpu.models.optimize import fuse_flux_qkv as fq
+
+    qparams = fq(qparams)
+    qparams = apply_flux_lora(qparams, cfg, str(tmp_path / "f.safetensors"))
+    lora = qparams["double"]["img_attn"]["qkv"].lora
+    assert lora is not None
+    a, bl = np.asarray(lora[0], np.float32), np.asarray(lora[1], np.float32)
+    assert a.shape[0] == cfg.num_layers and bl.shape[-1] == 3 * h
+    assert np.abs(bl[0][:, h:2 * h]).sum() > 0   # k columns populated
+    assert np.abs(bl[0][:, :h]).sum() == 0       # q columns empty
+    assert np.abs(bl[1]).sum() == 0              # other layer untouched
