@@ -37,9 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--imatrix", default=None, metavar="FILE",
                    help="importance-matrix file (llama.cpp format) for "
                         "error-minimizing --isq; keys are dotted param paths")
-    p.add_argument("--lora", default=None, metavar="FILE",
-                   help="diffusers-format FLUX LoRA safetensors to apply")
-    p.add_argument("--lora-scale", type=float, default=1.0)
+    p.add_argument("--lora", action="append", default=None, metavar="FILE",
+                   help="FLUX LoRA safetensors to apply (repeatable; "
+                        "diffusers/PEFT or kohya/sd-scripts naming)")
+    p.add_argument("--lora-scale", action="append", type=float, default=None,
+                   help="scale per --lora (repeatable; default 1.0 each)")
     p.add_argument("--token", default=None)
     p.add_argument("--revision", default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -94,7 +96,10 @@ def main(argv=None) -> int:
         isq=args.isq,
         imatrix=args.imatrix,
         lora=args.lora,
-        lora_scale=args.lora_scale,
+        lora_scale=(
+            args.lora_scale if args.lora_scale is not None
+            else [1.0] * len(args.lora or [])
+        ) or 1.0,
     )
 
     def generate(prompt: str, height: int, width: int, out_path: str):

@@ -261,6 +261,18 @@ def _resolve_target(params, section, tree_path, cfg):
     raise KeyError(tree_path)
 
 
+def _merge_lora(existing, a, bl):
+    """Stack a new runtime low-rank term onto an existing one (multiple
+    LoRA files): ranks concatenate — y += (x@[a1|a2])@[[bl1],[bl2]]."""
+    if existing is None:
+        return (a, bl)
+    a0, bl0 = existing
+    return (
+        jnp.concatenate([a0, a], axis=-1),
+        jnp.concatenate([bl0, bl], axis=-2),
+    )
+
+
 def _fuse_dense(w: jnp.ndarray, layer: Optional[int], A, B, s: float,
                 col_off: Optional[int] = None):
     """w ([L, K, N] or [K, N]) += s * A.T @ B.T (f32, cast back), optionally
@@ -365,7 +377,8 @@ def apply_flux_lora(params, cfg, path: str, scale: float = 1.0,
                 bl = np.concatenate(
                     [b_full(A, B, s, off) for (_, A, B, s, off) in rec["entries"]],
                     axis=0)
-                lin.lora = (jnp.asarray(a, dtype), jnp.asarray(bl, dtype))
+                lin.lora = _merge_lora(lin.lora, jnp.asarray(a, dtype),
+                                       jnp.asarray(bl, dtype))
             else:
                 L = n_layers[section]
                 by_layer: Dict[int, list] = {}
@@ -383,7 +396,8 @@ def apply_flux_lora(params, cfg, path: str, scale: float = 1.0,
                         a_np[layer, :, r0:r0 + r] = A.T
                         b_np[layer, r0:r0 + r] = b_full(A, B, s, off)
                         r0 += r
-                lin.lora = (jnp.asarray(a_np, dtype), jnp.asarray(b_np, dtype))
+                lin.lora = _merge_lora(lin.lora, jnp.asarray(a_np, dtype),
+                                       jnp.asarray(b_np, dtype))
         else:
             for (layer, A, B, s, off) in rec["entries"]:
                 lin.w = _fuse_dense(

@@ -228,14 +228,26 @@ def load_pipeline(
                 )
         if lora:
             # after ISQ: quantized bases get the runtime low-rank term, so
-            # LoRA quality does not pass through the quantizer
+            # LoRA quality does not pass through the quantizer. A list of
+            # files applies in order (dense deltas sum; quantized runtime
+            # terms stack by rank concatenation).
             from ..io.lora import apply_flux_lora
 
-            flux_params = apply_flux_lora(
-                flux_params, flux_cfg, lora, scale=lora_scale, dtype=dt
+            loras = [lora] if isinstance(lora, str) else list(lora)
+            scales = (
+                [lora_scale] * len(loras)
+                if isinstance(lora_scale, (int, float)) else list(lora_scale)
             )
-            if not silent:
-                log.info("applied LoRA %s (scale %.2f)", lora, lora_scale)
+            if len(scales) != len(loras):
+                raise ValueError(
+                    f"{len(loras)} LoRA files but {len(scales)} scales"
+                )
+            for lf, sc in zip(loras, scales):
+                flux_params = apply_flux_lora(
+                    flux_params, flux_cfg, lf, scale=sc, dtype=dt
+                )
+                if not silent:
+                    log.info("applied LoRA %s (scale %.2f)", lf, sc)
         # qkv fusion is opt-in: inside one jit graph XLA already pipelines
         # the separate projections, and the fused variant measured ~6% slower
         # at 1024^2 (the wide-output split outweighs saved dispatches).

@@ -321,3 +321,39 @@ def test_lora_on_fused_tree(tmp_path):
     assert np.abs(bl[0][:, h:2 * h]).sum() > 0   # k columns populated
     assert np.abs(bl[0][:, :h]).sum() == 0       # q columns empty
     assert np.abs(bl[1]).sum() == 0              # other layer untouched
+
+
+def test_multi_lora_stacking(tmp_path):
+    """A list of LoRA files applies in order: dense deltas sum; quantized
+    runtime terms stack by rank concatenation."""
+    root = write_checkpoint(tmp_path / "ck", seed=0, quant="nf4")
+    rng = np.random.default_rng(9)
+    h = FLUX_HIDDEN
+    for i in (1, 2):
+        save_safetensors(str(tmp_path / f"l{i}.safetensors"), {
+            "transformer.x_embedder.lora_A.weight": (
+                rng.standard_normal((RANK, 64)) * 0.2).astype(np.float32),
+            "transformer.x_embedder.lora_B.weight": (
+                rng.standard_normal((h, RANK)) * 0.2).astype(np.float32),
+            "transformer.transformer_blocks.0.attn.to_q.lora_A.weight": (
+                rng.standard_normal((RANK, h)) * 0.2).astype(np.float32),
+            "transformer.transformer_blocks.0.attn.to_q.lora_B.weight": (
+                rng.standard_normal((h, RANK)) * 0.2).astype(np.float32),
+        })
+    both = Pipeline(
+        ModelSource.from_model_id(str(root)), silent=True,
+        lora=[str(tmp_path / "l1.safetensors"), str(tmp_path / "l2.safetensors")],
+        lora_scale=[1.0, 0.5],
+    )
+    # quantized x_embedder carries both terms: rank 2*RANK
+    lor = both._inner.flux_params["img_in"].lora
+    assert lor is not None and lor[0].shape[-1] == 2 * RANK
+    one = Pipeline(ModelSource.from_model_id(str(root)), silent=True,
+                   lora=str(tmp_path / "l1.safetensors"))
+    a = np.asarray(both.forward_images(["a cat"], PARAMS)[0])
+    b = np.asarray(one.forward_images(["a cat"], PARAMS)[0])
+    assert (a != b).any()
+
+    with pytest.raises(ValueError, match="scales"):
+        Pipeline(ModelSource.from_model_id(str(root)), silent=True,
+                 lora=[str(tmp_path / "l1.safetensors")], lora_scale=[1.0, 2.0])
