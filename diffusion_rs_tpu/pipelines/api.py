@@ -101,9 +101,11 @@ class Pipeline:
         linears get importance-weighted (error-minimizing) quantization
         (quantize_imatrix equivalent, quantized/mod.rs:110).
 
-        ``lora``: path to a diffusers-format FLUX LoRA safetensors file;
-        dense linears get the delta fused, quantized linears get a runtime
-        low-rank term. ``lora_scale`` multiplies the trained alpha/r.
+        ``lora``: path to a FLUX LoRA safetensors file (diffusers-PEFT,
+        kohya-suffix, or sd-scripts BFL naming), or a LIST of paths applied
+        in order; dense linears get the delta fused, quantized linears get
+        a runtime low-rank term. ``lora_scale`` multiplies the trained
+        alpha/r (scalar, or one per file).
 
         ``mesh``: a jax.sharding.Mesh (see parallel.make_mesh) — weights are
         placed tensor-parallel over its "tp" axis and prompts are batched
