@@ -8,8 +8,11 @@ a jax.sharding.Mesh instead: axes
 * ``tp`` — tensor parallel over attention heads / MLP width (latency +
   capacity configs; collectives ride ICI),
 
-with GSPMD/pjit inserting the collectives. Context parallelism over image
-tokens (2048² configs) composes on top of tp in later rounds.
+* ``sp`` — sequence/context parallel over the packed image tokens (2048²
+  configs): the pipeline shards the token axis and joint attention runs as
+  ring attention (ops/partitioned.py) over the axis,
+
+with GSPMD/pjit inserting the collectives.
 """
 
 from __future__ import annotations

@@ -35,10 +35,19 @@ class HostOffload:
         """``only``: restrict offloading to these component names (e.g.
         ("t5", "clip") keeps the transformer resident and swaps only the
         encoders — finer policy than the reference's all-or-nothing Full)."""
+        import threading
+
         self._host: dict = {}
         self._device: dict = {}
         self._target: dict = {}
+        self._refs: dict = {}
         self._only = frozenset(only) if only is not None else None
+        # Residency is refcounted under a lock so concurrent users (the
+        # serving submit threads + scheduler/decode threads) can acquire the
+        # same component without one's release evicting the other's copy
+        # mid-use. The reference never needed this — its whole forward sits
+        # behind one Mutex (pipelines/mod.rs:111,246).
+        self._lock = threading.RLock()
 
     def manages(self, name: str) -> bool:
         return name in self._host
@@ -60,13 +69,23 @@ class HostOffload:
         self._host[name] = jax.device_put(params, cpus[0]) if cpus else params
 
     def resident(self, name: str) -> Any:
-        if name not in self._device:
-            target = self._target.get(name, jax.devices()[0])
-            self._device[name] = jax.device_put(self._host[name], target)
-        return self._device[name]
+        """Acquire a device copy (refcounted; pair with :meth:`release`)."""
+        with self._lock:
+            if name not in self._device:
+                target = self._target.get(name, jax.devices()[0])
+                self._device[name] = jax.device_put(self._host[name], target)
+            self._refs[name] = self._refs.get(name, 0) + 1
+            return self._device[name]
 
     def release(self, name: str):
-        self._device.pop(name, None)
+        """Drop one reference; the device copy is evicted at refcount zero."""
+        with self._lock:
+            n = self._refs.get(name, 0) - 1
+            if n <= 0:
+                self._refs.pop(name, None)
+                self._device.pop(name, None)
+            else:
+                self._refs[name] = n
 
     def ensure_resident(self, name: Optional[str] = None):
         if name is not None:

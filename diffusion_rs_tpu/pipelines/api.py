@@ -11,7 +11,7 @@ from __future__ import annotations
 import enum
 import io as _io
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 
 class Offloading(enum.Enum):
@@ -90,9 +90,11 @@ class Pipeline:
         dtype: ModelDType = ModelDType.Auto,
         isq: Optional[str] = None,
         imatrix: Optional[str] = None,
-        lora: Optional[str] = None,
-        lora_scale: float = 1.0,
+        lora: Union[str, Sequence[str], None] = None,
+        lora_scale: Union[float, Sequence[float]] = 1.0,
         mesh=None,
+        t5_mask_pads: Optional[bool] = None,
+        step_progress: Optional[bool] = None,
     ):
         """``isq``: in-situ-quantize dense transformer linears at load
         ("q4_0" | "q8_0" | "q4_k" | "q6_k" | "nf4") — IsqType equivalent
@@ -108,9 +110,19 @@ class Pipeline:
         alpha/r (scalar, or one per file).
 
         ``mesh``: a jax.sharding.Mesh (see parallel.make_mesh) — weights are
-        placed tensor-parallel over its "tp" axis and prompts are batched
-        data-parallel over "dp". The reference is single-device
-        (SURVEY.md §2.8); this is the TPU scale-out path."""
+        placed tensor-parallel over its "tp" axis, prompts are batched
+        data-parallel over "dp", and packed image tokens shard over "sp"
+        (sequence parallelism — joint attention runs the ring kernel so the
+        16k-token 2048² sequence never materializes on one chip). The
+        reference is single-device (SURVEY.md §2.8); this is the TPU
+        scale-out path.
+
+        ``t5_mask_pads`` / ``step_progress``: behavior toggles resolved ONCE
+        at construction (``DIFFUSION_RS_TPU_T5_MASK_PADS`` /
+        ``DIFFUSION_RS_TPU_PROGRESS`` env vars are the defaults). They are
+        frozen because jit traces them as constants — toggling env after
+        construction would silently keep the cached graph; the pipeline
+        exposes them read-only instead."""
         from .loader import load_pipeline  # deferred: heavy imports
 
         self._inner = load_pipeline(
@@ -125,6 +137,8 @@ class Pipeline:
             lora=lora,
             lora_scale=lora_scale,
             mesh=mesh,
+            t5_mask_pads=t5_mask_pads,
+            step_progress=step_progress,
         )
 
     def forward(

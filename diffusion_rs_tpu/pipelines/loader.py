@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Optional
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -95,9 +95,11 @@ def load_pipeline(
     dtype: ModelDType = ModelDType.Auto,
     isq: Optional[str] = None,
     imatrix: Optional[str] = None,
-    lora: Optional[str] = None,
-    lora_scale: float = 1.0,
+    lora: Union[str, Sequence[str], None] = None,
+    lora_scale: Union[float, Sequence[float]] = 1.0,
     mesh=None,
+    t5_mask_pads: Optional[bool] = None,
+    step_progress: Optional[bool] = None,
 ) -> FluxPipeline:
     loader = FileLoader(
         model_id=source.model_id,
@@ -221,9 +223,16 @@ def load_pipeline(
 
                 imat = load_imatrix(imatrix)
             flux_params = isq_tree(flux_params, isq, imatrix=imat)
+            # The reference's quantized checkpoints quantize T5 throughout
+            # (models/t5/mod.rs — every linear is Arc<dyn QuantMethod>), so
+            # ISQ covers it too: a dense bf16 T5-XXL (~9.5 GB) would
+            # otherwise cancel the HBM savings the q4 capacity configs
+            # depend on. CLIP stays dense (123M params; pooled conditioning
+            # is small and quality-sensitive).
+            t5_params = isq_tree(t5_params, isq, imatrix=imat)
             if not silent:
                 log.info(
-                    "applied ISQ (%s%s) to transformer linears", isq,
+                    "applied ISQ (%s%s) to transformer + T5 linears", isq,
                     ", imatrix-weighted" if imat else "",
                 )
         if lora:
@@ -304,4 +313,6 @@ def load_pipeline(
         dtype=dt,
         offload=offload,
         silent=silent,
+        t5_mask_pads=t5_mask_pads,
+        step_progress=step_progress,
     )

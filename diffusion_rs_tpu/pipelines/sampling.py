@@ -69,6 +69,7 @@ def denoise_scan(
     img: jnp.ndarray,
     sigmas: jnp.ndarray,
     inpaint=None,
+    progress=None,
 ) -> jnp.ndarray:
     """Euler flow-match loop under lax.scan (pipelines/sampling.rs:25-48):
     per window (t_curr, t_prev): img += pred(img, t_curr) * (t_prev - t_curr).
@@ -92,7 +93,13 @@ def denoise_scan(
     # Optional per-step progress (the reference renders a bar per denoise
     # step, pipelines/sampling.rs:37 — a host sync per step; off by default
     # because it breaks the zero-round-trip scan).
-    report = bool(os.environ.get("DIFFUSION_RS_TPU_PROGRESS"))
+    # ``progress`` (pipeline option) wins; the env var is only the default.
+    # NOTE: this resolves at TRACE time — callers must pass a value fixed at
+    # construction (FluxPipeline.step_progress), not re-read env per call.
+    report = (
+        progress if progress is not None
+        else bool(os.environ.get("DIFFUSION_RS_TPU_PROGRESS"))
+    )
 
     def body(carry, xs):
         i, tc, tp = xs

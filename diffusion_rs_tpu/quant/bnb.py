@@ -213,3 +213,10 @@ def quantize_nf4(w: np.ndarray, blocksize: int = 64) -> QuantizedTensor:
     """Quantize ``[out, in]`` weight directly to a canonical nf4 tensor."""
     packed, absmax = quantize_4bit_bnb_layout(w, blocksize, "nf4")
     return bnb4bit_to_canonical(packed, absmax, w.shape, blocksize, "nf4")
+
+
+def quantize_fp4(w: np.ndarray, blocksize: int = 64) -> QuantizedTensor:
+    """Quantize ``[out, in]`` weight directly to a canonical fp4 tensor
+    (bnb fp4 e2m1 codebook, op.rs:69-128)."""
+    packed, absmax = quantize_4bit_bnb_layout(w, blocksize, "fp4")
+    return bnb4bit_to_canonical(packed, absmax, w.shape, blocksize, "fp4")

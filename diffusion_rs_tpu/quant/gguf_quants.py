@@ -353,6 +353,60 @@ def encode_q4_0(w: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def encode_q4_1(w: np.ndarray) -> bytes:
+    """quantize_row_q4_1: affine per 32-block, d=(max-min)/15, m=min."""
+    wf = w.astype(np.float32).reshape(-1, 32)
+    mn = wf.min(axis=1)
+    mx = wf.max(axis=1)
+    d = (mx - mn) / 15.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip((wf - mn[:, None]) * inv[:, None] + 0.5, 0, 15.0).astype(np.uint8)
+    out = np.empty((wf.shape[0], 20), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:20] = q[:, :16] | (q[:, 16:] << 4)
+    return out.tobytes()
+
+
+def _pack_qh5(q: np.ndarray) -> np.ndarray:
+    """5th bits of 32 codes -> u32 (bit e = element e; see _decode_q5_0)."""
+    hi = (q >> 4).astype(np.uint32)  # [nb, 32]
+    return (hi << np.arange(32, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32
+    )
+
+
+def encode_q5_0(w: np.ndarray) -> bytes:
+    """quantize_row_q5_0: symmetric 5-bit, d = signed_max / -16."""
+    wf = w.astype(np.float32).reshape(-1, 32)
+    amax_idx = np.abs(wf).argmax(axis=1)
+    maxv = wf[np.arange(wf.shape[0]), amax_idx]
+    d = maxv / -16.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip(wf * inv[:, None] + 16.5, 0, 31.0).astype(np.uint8)
+    out = np.empty((wf.shape[0], 22), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:6] = _pack_qh5(q)[:, None].view(np.uint8)
+    out[:, 6:22] = (q[:, :16] & 0xF) | ((q[:, 16:] & 0xF) << 4)
+    return out.tobytes()
+
+
+def encode_q5_1(w: np.ndarray) -> bytes:
+    """quantize_row_q5_1: affine 5-bit, d=(max-min)/31, m=min."""
+    wf = w.astype(np.float32).reshape(-1, 32)
+    mn = wf.min(axis=1)
+    mx = wf.max(axis=1)
+    d = (mx - mn) / 31.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip((wf - mn[:, None]) * inv[:, None] + 0.5, 0, 31.0).astype(np.uint8)
+    out = np.empty((wf.shape[0], 24), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = mn.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:8] = _pack_qh5(q)[:, None].view(np.uint8)
+    out[:, 8:24] = (q[:, :16] & 0xF) | ((q[:, 16:] & 0xF) << 4)
+    return out.tobytes()
+
+
 def encode_q8_0(w: np.ndarray) -> bytes:
     wf = w.astype(np.float32).reshape(-1, 32)
     amax = np.abs(wf).max(axis=1)
@@ -446,9 +500,153 @@ def encode_q4_k(w: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def encode_q2_k(w: np.ndarray) -> bytes:
+    """Q2K: 16 sub-blocks of 16, 2-bit affine; 4-bit super-quantized
+    scale/min pairs (layout of _decode_q2_k)."""
+    wf = w.astype(np.float32).reshape(-1, QK_K)
+    nb = wf.shape[0]
+    sub = wf.reshape(nb, 16, 16)
+    mn = np.minimum(sub.min(axis=2), 0.0)
+    mx = np.maximum(sub.max(axis=2), 0.0)
+    ls = (mx - mn) / 3.0                       # local scale, q in [0,3]
+    lm = -mn                                   # local (negated) min, >= 0
+    d = ls.max(axis=1) / 15.0
+    d = np.where(d == 0, 1e-12, d)
+    dmin = lm.max(axis=1) / 15.0
+    dmin = np.where(dmin == 0, 1e-12, dmin)
+    sc4 = np.round(ls / d[:, None]).clip(0, 15).astype(np.uint8)
+    m4 = np.round(lm / dmin[:, None]).clip(0, 15).astype(np.uint8)
+    eff_s = d[:, None] * sc4
+    eff_m = dmin[:, None] * m4
+    eff_safe = np.where(eff_s == 0, 1, eff_s)
+    q = np.round((sub + eff_m[..., None]) / eff_safe[..., None]).clip(0, 3)
+    q = q.astype(np.uint8).reshape(nb, QK_K)
+    qs = np.zeros((nb, 64), np.uint8)
+    e = np.arange(QK_K)
+    half, r = e // 128, e % 128
+    shift_i, pos = r // 32, r % 32
+    byte_idx = 32 * half + pos
+    for s in range(4):
+        m = shift_i == s
+        qs[:, byte_idx[m]] |= q[:, m] << (2 * s)
+    out = np.empty((nb, 84), np.uint8)
+    out[:, 0:16] = sc4 | (m4 << 4)
+    out[:, 16:80] = qs
+    out[:, 80:82] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 82:84] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def _pack_q3k_scales(u: np.ndarray) -> np.ndarray:
+    """16 6-bit values (0..63) -> 12 bytes (inverse of _unpack_q3k_scales)."""
+    nb = u.shape[0]
+    out = np.zeros((nb, 12), np.uint8)
+    for j in range(4):
+        out[:, j] = (u[:, j] & 0xF) | ((u[:, j + 8] & 0xF) << 4)
+        out[:, j + 4] = (u[:, j + 4] & 0xF) | ((u[:, j + 12] & 0xF) << 4)
+        out[:, j + 8] = (
+            (u[:, j] >> 4) | ((u[:, j + 4] >> 4) << 2)
+            | ((u[:, j + 8] >> 4) << 4) | ((u[:, j + 12] >> 4) << 6)
+        )
+    return out
+
+
+def encode_q3_k(w: np.ndarray) -> bytes:
+    """Q3K: 16 sub-blocks of 16, symmetric 3-bit (q' in [-4,3]); signed
+    6-bit super-quantized scales (layout of _decode_q3_k)."""
+    wf = w.astype(np.float32).reshape(-1, QK_K)
+    nb = wf.shape[0]
+    sub = wf.reshape(nb, 16, 16)
+    amax_idx = np.abs(sub).argmax(axis=2)
+    ii, jj = np.meshgrid(np.arange(nb), np.arange(16), indexing="ij")
+    maxv = sub[ii, jj, amax_idx]
+    ls = maxv / -4.0                           # q' = x/ls in [-4, 3]
+    d = np.abs(ls).max(axis=1) / 31.0
+    d = np.where(d == 0, 1e-12, d)
+    sc = np.round(ls / d[:, None]).clip(-32, 31).astype(np.int32)
+    eff = d[:, None] * sc
+    eff_safe = np.where(eff == 0, 1, eff)
+    qp = np.round(sub / eff_safe[..., None]).clip(-4, 3).astype(np.int32)
+    codes = (qp + 4).astype(np.uint8).reshape(nb, QK_K)   # [0, 7]
+    qs = np.zeros((nb, 64), np.uint8)
+    hmask = np.zeros((nb, 32), np.uint8)
+    e = np.arange(QK_K)
+    half, r = e // 128, e % 128
+    shift_i, pos = r // 32, r % 32
+    byte_idx = 32 * half + pos
+    mbit = half * 4 + shift_i
+    for s in range(4):
+        m = shift_i == s
+        qs[:, byte_idx[m]] |= (codes[:, m] & 3) << (2 * s)
+    for b in range(8):
+        m = mbit == b
+        hmask[:, pos[m]] |= (codes[:, m] >> 2) << b
+    out = np.empty((nb, 110), np.uint8)
+    out[:, 0:32] = hmask
+    out[:, 32:96] = qs
+    out[:, 96:108] = _pack_q3k_scales((sc + 32).astype(np.uint8))
+    out[:, 108:110] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.tobytes()
+
+
+def encode_q5_k(w: np.ndarray) -> bytes:
+    """Q5K: 8 sub-blocks of 32, affine 5-bit, 6-bit super-quantized
+    scale/min (encode_q4_k with 31 levels + high-bit plane)."""
+    wf = w.astype(np.float32).reshape(-1, QK_K)
+    nb = wf.shape[0]
+    sub = wf.reshape(nb, 8, 32)
+    mn = np.minimum(sub.min(axis=2), 0.0)
+    mx = np.maximum(sub.max(axis=2), 0.0)
+    scale = (mx - mn) / 31.0
+    d = scale.max(axis=1) / 63.0
+    d = np.where(d == 0, 1e-12, d)
+    dmin = np.maximum(-mn, 0.0).max(axis=1) / 63.0
+    dmin = np.where(dmin == 0, 1e-12, dmin)
+    sc6 = np.round(scale / d[:, None]).clip(0, 63).astype(np.uint8)
+    mn6 = np.round(-mn / dmin[:, None]).clip(0, 63).astype(np.uint8)
+    eff_scale = d[:, None] * sc6
+    eff_min = dmin[:, None] * mn6
+    eff_safe = np.where(eff_scale == 0, 1, eff_scale)
+    q = np.round((sub + eff_min[..., None]) / eff_safe[..., None]).clip(0, 31)
+    q = q.astype(np.uint8).reshape(nb, QK_K)
+    scales = np.zeros((nb, 12), np.uint8)
+    for j in range(4):
+        scales[:, j] = sc6[:, j]
+        scales[:, j + 4] = mn6[:, j]
+    for j in range(4, 8):
+        scales[:, j + 4] = (sc6[:, j] & 0xF) | ((mn6[:, j] & 0xF) << 4)
+        scales[:, j - 4] |= (sc6[:, j] >> 4) << 6
+        scales[:, j] |= (mn6[:, j] >> 4) << 6
+    qs = np.zeros((nb, 128), np.uint8)
+    qh = np.zeros((nb, 32), np.uint8)
+    e = np.arange(QK_K)
+    j64, r = e // 64, e % 64
+    byte_idx = 32 * j64 + r % 32
+    lo_m = r < 32
+    qs[:, byte_idx[lo_m]] |= q[:, lo_m] & 0xF
+    qs[:, byte_idx[~lo_m]] |= (q[:, ~lo_m] & 0xF) << 4
+    ubit = 2 * j64 + (r >= 32)
+    for b in range(8):
+        m = ubit == b
+        qh[:, (r % 32)[m]] |= (q[:, m] >> 4) << b
+    out = np.empty((nb, 176), np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 4:16] = scales
+    out[:, 16:48] = qh
+    out[:, 48:176] = qs
+    return out.tobytes()
+
+
 ENCODERS = {
     "q4_0": encode_q4_0,
+    "q4_1": encode_q4_1,
+    "q5_0": encode_q5_0,
+    "q5_1": encode_q5_1,
     "q8_0": encode_q8_0,
-    "q6_k": encode_q6_k,
+    "q2_k": encode_q2_k,
+    "q3_k": encode_q3_k,
     "q4_k": encode_q4_k,
+    "q5_k": encode_q5_k,
+    "q6_k": encode_q6_k,
 }

@@ -28,10 +28,24 @@ from .bnb import quantize_nf4
 from .gguf_quants import ENCODERS, gguf_to_canonical
 from .qtensor import QuantizedTensor, pack4, unpack4_np
 
-# reference IsqType::Q4_0/Q4K/Q6K/Q8_0/... (CUDA-legal subset, lib.rs:102-128)
-# + "q8t": the TPU-native int8 execution format (per-K-tile scales) that
-# unlocks the s8 x s8 MXU path in the fused kernel (qtensor.quantize_q8_tile)
-SUPPORTED = ("q4_0", "q8_0", "q4_k", "q6_k", "nf4", "q8t")
+# The reference's CUDA-legal IsqType set (lib.rs:102-128): Q4_0, Q4_1,
+# Q5_0, Q5_1, Q8_0, Q2K, Q3K, Q4K, Q5K, Q6K — all covered — plus the bnb
+# codebook formats (nf4/fp4) and "q8t": the TPU-native int8 execution format
+# (per-K-tile scales) that unlocks the s8 x s8 MXU path in the fused kernel
+# (qtensor.quantize_q8_tile).
+SUPPORTED = (
+    "q4_0", "q4_1", "q5_0", "q5_1", "q8_0",
+    "q2_k", "q3_k", "q4_k", "q5_k", "q6_k",
+    "nf4", "fp4", "q8t",
+)
+
+# K (input features) must divide the format's block/group length; k-quants
+# use 256-element super-blocks, the legacy formats 32, bnb blocksize 64.
+_K_DIVISOR = {
+    "q4_0": 32, "q4_1": 32, "q5_0": 32, "q5_1": 32, "q8_0": 32,
+    "q2_k": 256, "q3_k": 256, "q4_k": 256, "q5_k": 256, "q6_k": 256,
+    "nf4": 64, "fp4": 64, "q8t": 1,
+}
 
 
 def _codes_of(qt: QuantizedTensor) -> np.ndarray:
@@ -161,6 +175,10 @@ def isq_quantize_weight(
     w_torch = np.ascontiguousarray(w.T)  # [out, in] for the encoders
     if target == "nf4":
         qt = quantize_nf4(w_torch, blocksize=64)
+    elif target == "fp4":
+        from .bnb import quantize_fp4
+
+        qt = quantize_fp4(w_torch, blocksize=64)
     elif target == "q8t":
         from .qtensor import quantize_q8_tile
 
@@ -192,21 +210,30 @@ def _imatrix_lookup(imatrix, names, layer: Optional[int], k: int):
     return None
 
 
-def isq_tree(params, target: str, min_features: int = 512, imatrix=None):
+def isq_tree(params, target: str, min_features: Optional[int] = None,
+             imatrix=None):
     """Quantize every dense Linear in a param pytree whose weight is at least
     ``min_features`` on both dims (embedders/norms stay dense, mirroring the
     reference's per-linear ISQ over QuantizedModelLayer aggregates).
+    ``min_features`` defaults to 512 (``DIFFUSION_RS_TPU_ISQ_MIN`` env
+    override, read at load time — not inside any jit graph).
 
     ``imatrix``: optional dict of importance vectors (io/imatrix.py
     ``load_imatrix``) keyed by dotted param path — matched linears get
     error-minimizing weighted quantization (reference: quantize_imatrix)."""
+    import os
+
     from ..ops.linear import Linear  # deferred: ops imports quant
+
+    if min_features is None:
+        min_features = int(os.environ.get("DIFFUSION_RS_TPU_ISQ_MIN", "512"))
+    divisor = _K_DIVISOR.get(target, 256)
 
     def visit(path, node):
         if isinstance(node, Linear) and isinstance(node.w, jax.Array) \
                 and node.w.ndim >= 2:
             k, n = node.w.shape[-2], node.w.shape[-1]
-            if k >= min_features and n >= min_features and k % 256 == 0:
+            if k >= min_features and n >= min_features and k % divisor == 0:
                 names = [
                     str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", ""))))
                     for p in path

@@ -90,14 +90,30 @@ class FluxServer:
     >>> server.shutdown()
     """
 
-    def __init__(self, pipeline, max_batch: int = 4, poll_ms: float = 2.0):
+    def __init__(self, pipeline, max_batch: int = 4, poll_ms: float = 2.0,
+                 request_timeout_s: Optional[float] = None):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.pipe = pipeline
         self.max_batch = max_batch
         self.poll_s = poll_ms / 1e3
+        self.request_timeout_s = request_timeout_s
         self._queue: List[_Lane] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._step_jit = jax.jit(self._cb_step)
+        # Retiring lanes decode on this worker so in-flight lanes keep
+        # stepping during the (hundreds of ms at 1024²) VAE decode; one
+        # worker keeps decode graphs serialized against each other while
+        # overlapping them with denoise steps.
+        self._decode_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="drs-decode"
+        )
+        # Offload hygiene: the transformer is acquired once per busy period
+        # and released when the server goes idle (not per tick — that would
+        # re-upload every step under Offloading.Full).
+        self._flux_held = False
+        self._flux_p = None
         # dp-sharded serving: batches are laid out over the pipeline's mesh
         self._mesh = getattr(pipeline, "mesh", None)
         self._dp = self._mesh.shape.get("dp", 1) if self._mesh is not None else 1
@@ -141,6 +157,9 @@ class FluxServer:
             p._component("clip", p.clip_params),
             jnp.asarray(t5_ids), jnp.asarray(clip_ids),
         )
+        txt.block_until_ready()
+        p._release("t5")
+        p._release("clip")
         mu = calculate_shift(
             ((params.height + 15) // 16) * ((params.width + 15) // 16),
             p.scheduler.base_image_seq_len, p.scheduler.max_image_seq_len,
@@ -187,6 +206,8 @@ class FluxServer:
     def shutdown(self):
         self._stop.set()
         self._thread.join(timeout=60)
+        # In-flight decodes finish and resolve their futures before exit.
+        self._decode_pool.shutdown(wait=True)
 
     # -- metrics ---------------------------------------------------------------
 
@@ -202,13 +223,24 @@ class FluxServer:
         m["occupancy"] = (m["lane_steps"] / stepped) if stepped else 1.0
         return m
 
+    # Monotonic stats are exported as Prometheus counters (with the _total
+    # suffix rate()/increase() expect); point-in-time stats stay gauges.
+    _COUNTERS = frozenset(
+        {"submitted", "completed", "failed", "forwards", "lane_steps",
+         "padded_lane_steps"}
+    )
+
     def metrics_text(self) -> str:
-        """Prometheus text exposition of ``stats()`` (drs_server_* gauges)."""
+        """Prometheus text exposition of ``stats()`` (drs_server_*)."""
         s = self.stats()
         lines = []
         for k, v in sorted(s.items()):
-            lines.append(f"# TYPE drs_server_{k} gauge")
-            lines.append(f"drs_server_{k} {v}")
+            if k in self._COUNTERS:
+                lines.append(f"# TYPE drs_server_{k}_total counter")
+                lines.append(f"drs_server_{k}_total {v}")
+            else:
+                lines.append(f"# TYPE drs_server_{k} gauge")
+                lines.append(f"drs_server_{k} {v}")
         return "\n".join(lines) + "\n"
 
     # -- batched step ----------------------------------------------------------
@@ -219,7 +251,7 @@ class FluxServer:
         p = self.pipe
         dt_model = p.dtype
         pred = flux_forward(
-            flux_params, p.flux_cfg, latents.astype(dt_model),
+            flux_params, p.flux_cfg, p._shard_tokens(latents.astype(dt_model)),
             txts, ts, ys,
             gs if p.flux_cfg.guidance_embeds else None, pe=pe,
         )
@@ -243,6 +275,47 @@ class FluxServer:
             groups[key].lanes.append(lane)
         return list(groups.values())
 
+    def _acquire_flux(self, p):
+        if not self._flux_held:
+            self._flux_p = p._component("flux", p.flux_params)
+            self._flux_held = True
+        return self._flux_p
+
+    def _release_flux(self, p):
+        if self._flux_held:
+            self._flux_p = None
+            self._flux_held = False
+            p._release("flux")
+
+    def _expire_stale(self):
+        """Fail lanes (queued or in flight) past the per-request timeout."""
+        if self.request_timeout_s is None:
+            return
+        now = time.perf_counter()
+        expired = []
+        with self._lock:
+            keep_q = []
+            for ln in self._queue:
+                (expired if now - ln.t_submit > self.request_timeout_s
+                 else keep_q).append(ln)
+            self._queue = keep_q
+        keep_a = []
+        for ln in self._active:
+            (expired if now - ln.t_submit > self.request_timeout_s
+             else keep_a).append(ln)
+        self._active = keep_a
+        for ln in expired:
+            if not ln.future.done():
+                ln.future.set_exception(
+                    TimeoutError(
+                        f"request exceeded {self.request_timeout_s}s "
+                        f"(prompt {ln.prompt!r})"
+                    )
+                )
+        if expired:
+            with self._lock:
+                self._m["failed"] += len(expired)
+
     def _run(self):
         self._active: List[_Lane] = []
         p = self.pipe
@@ -251,12 +324,19 @@ class FluxServer:
                 while self._queue and len(self._active) < self.max_batch:
                     self._active.append(self._queue.pop(0))
             if not self._active:
+                # going idle: drop the transformer's device copy so
+                # Offloading.Full doesn't pin it between requests
+                self._release_flux(p)
                 time.sleep(self.poll_s)
+                continue
+            self._expire_stale()
+            if not self._active:
                 continue
             try:
                 self._tick(p)
             except Exception as e:
-                # A failed batched step (OOM, bad shapes) must not kill the
+                # A failed tick outside any single group's step (per-group
+                # failures are contained inside _tick) must not kill the
                 # scheduler thread — that would wedge every Future forever.
                 # Fail the lanes that were in flight and keep serving.
                 for ln in self._active:
@@ -266,89 +346,118 @@ class FluxServer:
                     self._m["failed"] += len(self._active)
                 self._active = []
         # drain on shutdown
+        self._release_flux(p)
         for ln in self._active + self._queue:
             if not ln.future.done():
                 ln.future.cancel()
 
     def _tick(self, p):
-        """One scheduler tick: step every shape group, retire finished lanes."""
-        for group in self._groups():
-            lanes = group.lanes[: self.max_batch]
-            b = len(lanes)
-            latents = jnp.stack([ln.latent for ln in lanes])
-            txts = jnp.stack([ln.txt for ln in lanes])
-            ys = jnp.stack([ln.y for ln in lanes])
-            ts = jnp.asarray([ln.sigmas[ln.step] for ln in lanes], jnp.float32)
-            dts = jnp.asarray(
-                [ln.sigmas[ln.step + 1] - ln.sigmas[ln.step] for ln in lanes],
-                jnp.float32,
-            )
-            gs = jnp.asarray([ln.guidance for ln in lanes], jnp.float32)
-            # pad to the next power-of-two bucket (x dp multiple): at most
-            # log2(max_batch) graphs per shape-group, and a lone request
-            # doesn't pay a full max_batch forward
-            bucket = self._dp
-            while bucket < b:
-                bucket *= 2
-            bucket = min(bucket, self.max_batch)
-            if b < bucket:
-                padn = bucket - b
-                latents = jnp.concatenate(
-                    [latents, jnp.repeat(latents[:1], padn, 0)])
-                txts = jnp.concatenate([txts, jnp.repeat(txts[:1], padn, 0)])
-                ys = jnp.concatenate([ys, jnp.repeat(ys[:1], padn, 0)])
-                ts = jnp.concatenate([ts, jnp.repeat(ts[:1], padn)])
-                dts = jnp.concatenate([dts, jnp.zeros((padn,), jnp.float32)])
-                gs = jnp.concatenate([gs, jnp.repeat(gs[:1], padn)])
-            if self._mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+        """One scheduler tick: step every shape group, retire finished lanes.
 
-                dp_sh = NamedSharding(self._mesh, P("dp"))
-                latents, txts, ys, ts, dts, gs = (
-                    jax.device_put(a, dp_sh)
-                    for a in (latents, txts, ys, ts, dts, gs)
-                )
-                with jax.sharding.set_mesh(self._mesh):
-                    out = self._step_jit(
-                        p._component("flux", p.flux_params),
-                        latents, txts, ys, ts, dts, gs, group.pe,
-                    )
-            else:
-                out = self._step_jit(
-                    p._component("flux", p.flux_params),
-                    latents, txts, ys, ts, dts, gs, group.pe,
-                )
-            for i, ln in enumerate(lanes):
-                ln.latent = out[i]
-                ln.step += 1
+        A step that raises fails ONLY its own group's lanes — other shape
+        groups (different resolutions already ticking fine) keep serving."""
+        failed_lanes = []
+        for group in self._groups():
+            try:
+                self._step_group(p, group)
+            except Exception as e:
+                for ln in group.lanes:
+                    if not ln.future.done():
+                        ln.future.set_exception(e)
+                failed_lanes.extend(group.lanes)
+        if failed_lanes:
+            dead = set(map(id, failed_lanes))
+            self._active = [ln for ln in self._active if id(ln) not in dead]
             with self._lock:
-                self._m["forwards"] += 1
-                self._m["lane_steps"] += b
-                self._m["padded_lane_steps"] += bucket - b
-        # retire finished lanes (decode individually — frees the lane
-        # for the next queued request immediately)
+                self._m["failed"] += len(failed_lanes)
+        # retire finished lanes off-thread (decode worker) — frees the lane
+        # for the next queued request immediately and keeps the remaining
+        # lanes stepping during the decode
         still = []
         for ln in self._active:
-            if not ln.done:
+            if ln.done:
+                self._decode_pool.submit(self._retire, ln)
+            else:
                 still.append(ln)
-                continue
+        self._active = still
+
+    def _retire(self, ln: _Lane):
+        """Decode one finished lane (runs on the decode worker thread)."""
+        p = self.pipe
+        try:
+            vae = p._component("vae", p.vae_params)
             try:
                 img = p._decode_any(
-                    p._component("vae", p.vae_params),
-                    ln.latent[None],
+                    vae, ln.latent[None],
                     height=ln.params.height, width=ln.params.width,
                 )
-                ln.future.set_result(np.asarray(jax.device_get(img))[0])
-                with self._lock:
-                    self._m["completed"] += 1
-                    self._m["latency_sum_s"] += (
-                        time.perf_counter() - ln.t_submit
-                    )
-            except Exception as e:  # pragma: no cover
+                arr = np.asarray(jax.device_get(img))[0]
+            finally:
+                p._release("vae")
+            if not ln.future.cancelled():
+                ln.future.set_result(arr)
+            with self._lock:
+                self._m["completed"] += 1
+                self._m["latency_sum_s"] += time.perf_counter() - ln.t_submit
+        except Exception as e:  # pragma: no cover
+            if not ln.future.done():
                 ln.future.set_exception(e)
-                with self._lock:
-                    self._m["failed"] += 1
-        self._active = still
+            with self._lock:
+                self._m["failed"] += 1
+
+    def _step_group(self, p, group: _Group):
+        """One batched denoise step for one shape group."""
+        lanes = group.lanes[: self.max_batch]
+        b = len(lanes)
+        latents = jnp.stack([ln.latent for ln in lanes])
+        txts = jnp.stack([ln.txt for ln in lanes])
+        ys = jnp.stack([ln.y for ln in lanes])
+        ts = jnp.asarray([ln.sigmas[ln.step] for ln in lanes], jnp.float32)
+        dts = jnp.asarray(
+            [ln.sigmas[ln.step + 1] - ln.sigmas[ln.step] for ln in lanes],
+            jnp.float32,
+        )
+        gs = jnp.asarray([ln.guidance for ln in lanes], jnp.float32)
+        # pad to the next power-of-two bucket (x dp multiple): at most
+        # log2(max_batch) graphs per shape-group, and a lone request
+        # doesn't pay a full max_batch forward
+        bucket = self._dp
+        while bucket < b:
+            bucket *= 2
+        bucket = min(bucket, self.max_batch)
+        if b < bucket:
+            padn = bucket - b
+            latents = jnp.concatenate(
+                [latents, jnp.repeat(latents[:1], padn, 0)])
+            txts = jnp.concatenate([txts, jnp.repeat(txts[:1], padn, 0)])
+            ys = jnp.concatenate([ys, jnp.repeat(ys[:1], padn, 0)])
+            ts = jnp.concatenate([ts, jnp.repeat(ts[:1], padn)])
+            dts = jnp.concatenate([dts, jnp.zeros((padn,), jnp.float32)])
+            gs = jnp.concatenate([gs, jnp.repeat(gs[:1], padn)])
+        flux_p = self._acquire_flux(p)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp_sh = NamedSharding(self._mesh, P("dp"))
+            latents, txts, ys, ts, dts, gs = (
+                jax.device_put(a, dp_sh)
+                for a in (latents, txts, ys, ts, dts, gs)
+            )
+            with jax.sharding.set_mesh(self._mesh):
+                out = self._step_jit(
+                    flux_p, latents, txts, ys, ts, dts, gs, group.pe,
+                )
+        else:
+            out = self._step_jit(
+                flux_p, latents, txts, ys, ts, dts, gs, group.pe,
+            )
+        for i, ln in enumerate(lanes):
+            ln.latent = out[i]
+            ln.step += 1
+        with self._lock:
+            self._m["forwards"] += 1
+            self._m["lane_steps"] += b
+            self._m["padded_lane_steps"] += bucket - b
 
 
 def serve_http(server: FluxServer, host: str = "127.0.0.1", port: int = 8000,

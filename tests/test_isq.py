@@ -11,16 +11,25 @@ from diffusion_rs_tpu.quant import isq_quantize_weight, isq_tree
 from diffusion_rs_tpu.quant.qtensor import QuantizedTensor, dequantize
 
 
-@pytest.mark.parametrize("target", ["q4_0", "q8_0", "q4_k", "q6_k", "nf4", "q8t"])
+@pytest.mark.parametrize(
+    "target",
+    ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0", "q2_k", "q3_k", "q4_k", "q5_k",
+     "q6_k", "nf4", "fp4", "q8t"],
+)
 def test_isq_roundtrip_budget(rng, target):
+    """Every SUPPORTED target — the reference's full CUDA-legal IsqType set
+    (lib.rs:102-128) plus nf4/fp4/q8t — round-trips within its bit-width
+    budget."""
     w = (rng.standard_normal((512, 256)) * 0.03).astype(np.float32)
     qt = isq_quantize_weight(w, target)
     assert isinstance(qt, QuantizedTensor)
     assert qt.shape == (512, 256)
     w_hat = np.asarray(dequantize(qt, jnp.float32))
     err = np.abs(w - w_hat).mean()
-    budget = {"q4_0": 0.006, "q8_0": 0.0005, "q4_k": 0.006, "q6_k": 0.001,
-              "nf4": 0.006, "q8t": 0.0005}[target]
+    budget = {"q4_0": 0.006, "q4_1": 0.006, "q5_0": 0.003, "q5_1": 0.003,
+              "q8_0": 0.0005, "q2_k": 0.015, "q3_k": 0.008, "q4_k": 0.006,
+              "q5_k": 0.003, "q6_k": 0.001, "nf4": 0.006, "fp4": 0.01,
+              "q8t": 0.0005}[target]
     assert err <= budget, (target, err)
 
 

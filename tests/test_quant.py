@@ -59,13 +59,21 @@ def test_q8_0_roundtrip(rng):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("fmt", ["q4_0", "q8_0", "q4_k", "q6_k"])
+@pytest.mark.parametrize("fmt", list(gq.ENCODERS))
 def test_gguf_encode_decode(rng, fmt):
+    """Round-trip every encoder against its decoder — the full CUDA-legal
+    IsqType set of the reference (lib.rs:102-128). Budgets follow the
+    reference's bit-width ladder (quantized_tests.rs:11-16), scaled to the
+    0.05-sigma gaussian data."""
     rows, k = 8, 512
     w = rng.standard_normal((rows, k)).astype(np.float32) * 0.05
     raw = gq.ENCODERS[fmt](w)
     w_hat = gq.dequantize_rows(fmt, raw, (rows, k))
-    budget = {"q4_0": 0.01, "q8_0": 0.001, "q4_k": 0.01, "q6_k": 0.002}[fmt]
+    budget = {
+        "q4_0": 0.01, "q4_1": 0.01, "q5_0": 0.005, "q5_1": 0.005,
+        "q8_0": 0.001, "q2_k": 0.025, "q3_k": 0.012, "q4_k": 0.01,
+        "q5_k": 0.005, "q6_k": 0.002,
+    }[fmt]
     assert ref_error(w, w_hat) <= budget, f"{fmt}: {ref_error(w, w_hat)}"
     # canonical path must match full dequant bit-for-bit (integer codes kept)
     qt = gq.gguf_to_canonical(fmt, raw, (rows, k))

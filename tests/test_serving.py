@@ -84,7 +84,10 @@ def test_server_mixed_resolutions_and_metrics(pipe):
     assert s["lane_steps"] == 7
     assert 0.0 < s["occupancy"] <= 1.0 and s["mean_latency_s"] > 0
     text = server.metrics_text()
-    assert "drs_server_completed 3" in text
+    # monotonic stats export as Prometheus counters (_total), others as gauges
+    assert "# TYPE drs_server_completed_total counter" in text
+    assert "drs_server_completed_total 3" in text
+    assert "# TYPE drs_server_queue_depth gauge" in text
 
 
 def test_server_bucket_padding_compiles_small_batches(pipe):
@@ -160,7 +163,7 @@ def test_http_server_generate_and_metrics(pipe):
             assert r.read() == b"ok"
         with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
             text = r.read().decode()
-        assert "drs_server_completed 2" in text
+        assert "drs_server_completed_total 2" in text
 
         # missing prompt -> 400
         req = urllib.request.Request(
@@ -198,6 +201,22 @@ def test_server_img2img_lane_matches_offline(pipe):
     want_t = inner.forward_arrays(["a cat"], _params(2, 1))[0]
     d = np.abs(got_t2i.astype(np.float32) - want_t.astype(np.float32))
     assert d.mean() < 1.0 and d.max() <= 16
+
+
+def test_server_request_timeout(pipe):
+    """A lane past request_timeout_s fails with TimeoutError instead of
+    occupying its lane forever; later requests still serve."""
+    server = FluxServer(pipe._inner, max_batch=2, request_timeout_s=0.0)
+    try:
+        fut = server.submit("too slow", _params(50, 1))
+        with pytest.raises(TimeoutError, match="exceeded"):
+            fut.result(timeout=600)
+        server.request_timeout_s = None
+        out = server.submit("ok", _params(2, 2)).result(timeout=600)
+        assert out.shape == (64, 64, 3)
+    finally:
+        server.shutdown()
+    assert server.stats()["failed"] == 1
 
 
 def test_server_rejects_indivisible_dp_batch(tmp_path):
