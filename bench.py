@@ -58,6 +58,26 @@ PRESETS = {
 }
 
 
+def _maybe_rope_fused(params, cfg):
+    """Mirror the loader's default-on RoPE half-split re-layout
+    (pipelines/loader.py): the bench constructs params directly, so it must
+    apply the same transform to measure the production path.
+    DIFFUSION_RS_TPU_FUSED_ROPE=0 opts out (measures the unfused path)."""
+    import dataclasses
+    import os
+
+    if os.environ.get("DIFFUSION_RS_TPU_FUSED_ROPE", "1") == "0":
+        return params, cfg
+    from diffusion_rs_tpu.models.optimize import rope_halfsplit_permute
+
+    try:
+        params = rope_halfsplit_permute(params, cfg)
+        cfg = dataclasses.replace(cfg, rope_fused=True)
+    except (ValueError, KeyError, TypeError):
+        pass
+    return params, cfg
+
+
 def _setup_jax():
     import jax
     import pathlib
@@ -155,6 +175,7 @@ def bench_image(args, preset) -> int:
                 t5_params = init_t5_params(ks[1], t5_cfg, dtype)
     if isinstance(res, int):
         res = (res, res)
+    flux_params, flux_cfg = _maybe_rope_fused(flux_params, flux_cfg)
     b = preset["batch"] if preset else args.batch
     impl = (preset["impl"] if preset else args.impl) if not args.small else "dense-small"
 
@@ -289,6 +310,7 @@ def bench_serve(args, preset) -> int:
         res, steps, n_req = args.res, 4, 8
         flux_params = init_flux_params_quantized(ks[0], flux_cfg, dtype)
         t5_params = init_t5_params_quantized(ks[1], t5_cfg, dtype)
+    flux_params, flux_cfg = _maybe_rope_fused(flux_params, flux_cfg)
     clip_params = init_clip_params(ks[2], clip_cfg, dtype)
     vae_params = init_vae_params(ks[3], vae_cfg, dtype)
     pipe = FluxPipeline(
@@ -390,6 +412,10 @@ def bench_step(args, preset) -> int:
         from diffusion_rs_tpu.models.optimize import fuse_flux_qkv
 
         params = fuse_flux_qkv(params)
+    if params is not None:
+        params, cfg = _maybe_rope_fused(params, cfg)
+    elif stream_weights:
+        stream_parts, cfg = _maybe_rope_fused(stream_parts, cfg)
 
     b = preset["batch"] if preset else args.batch
     h2, w2 = (res[0] + 15) // 16, (res[1] + 15) // 16
@@ -473,11 +499,25 @@ def bench_step(args, preset) -> int:
     r1 = R1_STEP_MS.get(args.preset)
     vs = (r1 / (p50 * 1e3)) if (r1 and not args.small) else 1.0
 
+    overlap = ""
+    if stream_weights:
+        # Streaming overlap-efficiency report (VERDICT r2 next #9): measured
+        # H2D bandwidth, compute-only step, and predicted/actual ratio —
+        # labeled with THIS env's interconnect so a real-PCIe run is
+        # directly comparable (ROADMAP streaming item).
+        rep = sf.overlap_report(img, txt, y, guidance, pe, iters=2)
+        overlap = (
+            f"; stream overlap: h2d {rep['h2d_gbps']} GiB/s "
+            f"({rep['bytes_per_step_gb']} GB/step -> {rep['h2d_s']} s), "
+            f"compute {rep['compute_s']} s, streamed {rep['stream_s']} s, "
+            f"overlap_efficiency {rep['overlap_efficiency']}"
+        )
+
     print(
         json.dumps({
             "metric": f"FLUX.1{'-dev' if cfg.guidance_embeds else '-schnell'} "
             f"{res[0]}x{res[1]} {args.impl} images/sec/chip "
-            f"(transformer step only; 28 steps, p50 step {p50*1e3:.1f} ms, batch {b})",
+            f"(transformer step only; 28 steps, p50 step {p50*1e3:.1f} ms, batch {b}{overlap})",
             "value": round(images_per_sec_chip, 5),
             "unit": "images/sec/chip",
             "vs_baseline": round(vs, 4),

@@ -32,8 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-steps", type=int, default=50)
     p.add_argument("--offloading", choices=["full", "stream"], default=None)
     p.add_argument("--dtype", choices=["auto", "bf16", "f16", "f32"], default="auto")
-    p.add_argument("--isq", choices=["q4_0", "q8_0", "q4_k", "q6_k", "nf4", "q8t"],
-                   default=None, help="in-situ quantize dense transformer linears")
+    from .quant.isq import SUPPORTED as _ISQ
+
+    p.add_argument("--isq", choices=list(_ISQ), default=None,
+                   help="in-situ quantize dense transformer + T5 linears "
+                        "(full reference IsqType set + nf4/fp4/q8t)")
     p.add_argument("--imatrix", default=None, metavar="FILE",
                    help="importance-matrix file (llama.cpp format) for "
                         "error-minimizing --isq; keys are dotted param paths")
@@ -62,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(POST /generate, GET /metrics)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--request-timeout", type=float, default=None, metavar="S",
+                   help="per-request serving timeout in seconds")
     p.add_argument("--max-batch", type=int, default=4,
                    help="serving lanes sharing each batched forward")
     p.add_argument("--silent", action="store_true")
@@ -129,7 +134,8 @@ def main(argv=None) -> int:
     if args.serve:
         from .serving import FluxServer, serve_http
 
-        server = FluxServer(pipe._inner, max_batch=args.max_batch)
+        server = FluxServer(pipe._inner, max_batch=args.max_batch,
+                            request_timeout_s=args.request_timeout)
         print(f"serving on http://{args.host}:{args.port} "
               f"(POST /generate, GET /metrics, GET /healthz)")
         try:

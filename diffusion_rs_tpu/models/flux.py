@@ -63,6 +63,11 @@ class FluxConfig:
     mlp_ratio: float = 4.0
     axes_dim: Tuple[int, ...] = (16, 56, 56)
     theta: int = 10000
+    # True after models/optimize.rope_halfsplit_permute re-laid the q/k
+    # projection columns: blocks then run seq-major attention with RoPE
+    # fused into the flash kernel (SURVEY §7.4). Never read from config.json
+    # — set by the loader.
+    rope_fused: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -148,6 +153,61 @@ def _joint_attention(q, k, v, cos, sin):
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+def _qkv_sm(p: Params, x: jnp.ndarray, n_heads: int):
+    """Seq-major _qkv: project + per-head QK-RMSNorm WITHOUT the head-split
+    transpose — q/k/v stay [B, S, H*D] (the layout the fused flash kernel
+    consumes directly; see flash_pallas._flash_rope_kernel)."""
+    b, s, _ = x.shape
+
+    def norm(t, scale):
+        t4 = t.reshape(b, s, n_heads, -1)     # free reshape, no transpose
+        return rms_norm(t4, scale).reshape(b, s, -1)
+
+    if "qkv" in p:
+        qc, kc, vc = jnp.split(linear(x, p["qkv"]), 3, axis=-1)
+    else:
+        qc = linear(x, p["q"])
+        kc = linear(x, p["k"])
+        vc = linear(x, p["v"])
+    return norm(qc, p["q_norm"]), norm(kc, p["k_norm"]), vc
+
+
+def _joint_attention_sm(q, k, v, ce, se, head_dim: int):
+    """Seq-major joint attention with fused RoPE: q/k/v [B, S, H*D]; ce/se
+    the expanded half-split tables (ops/rope.py expand_rope_tables). Output
+    [B, S, H*D] — exactly the layout the output projection wants, so neither
+    the head split nor the merge transposes exist on this path. Requires
+    params permuted by models/optimize.rope_halfsplit_permute."""
+    from ..ops.attention import _flash_mode
+
+    mode = _flash_mode()
+    if mode and head_dim % 128 == 0:
+        from ..ops.flash_pallas import flash_attention_fused
+
+        try:
+            return flash_attention_fused(
+                q, k, v, ce, se, head_dim=head_dim,
+                interpret=(mode == "interpret"),
+            )
+        except NotImplementedError:
+            pass
+    # XLA fallback (CPU / odd head dims): half-split rope + standard sdpa.
+    from ..ops.rope import apply_rope_halfsplit
+
+    b, s, n = q.shape
+    h = n // head_dim
+    cos = ce[..., : head_dim // 2]
+    sin = se[..., head_dim // 2:]
+
+    def split(t):
+        return t.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
+
+    qr = apply_rope_halfsplit(split(q), cos, sin)
+    kr = apply_rope_halfsplit(split(k), cos, sin)
+    x = sdpa(qr, kr, split(v))
+    return x.transpose(0, 2, 1, 3).reshape(b, s, n)
+
+
 def double_block(
     p: Params, img, txt, vec, cos, sin, cfg: FluxConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -162,13 +222,22 @@ def double_block(
 
     img_mod = _scale_shift(layer_norm(img), i_shift1, i_scale1)
     txt_mod = _scale_shift(layer_norm(txt), t_shift1, t_scale1)
-    iq, ik, iv = _qkv(p["img_attn"], img_mod, cfg.num_attention_heads)
-    tq, tk, tv = _qkv(p["txt_attn"], txt_mod, cfg.num_attention_heads)
-
-    q = jnp.concatenate([tq, iq], axis=2)
-    k = jnp.concatenate([tk, ik], axis=2)
-    v = jnp.concatenate([tv, iv], axis=2)
-    attn = _joint_attention(q, k, v, cos, sin)
+    heads = cfg.num_attention_heads
+    if cfg.rope_fused:
+        # seq-major path: (cos, sin) carry the EXPANDED (ce, se) tables
+        iq, ik, iv = _qkv_sm(p["img_attn"], img_mod, heads)
+        tq, tk, tv = _qkv_sm(p["txt_attn"], txt_mod, heads)
+        q = jnp.concatenate([tq, iq], axis=1)
+        k = jnp.concatenate([tk, ik], axis=1)
+        v = jnp.concatenate([tv, iv], axis=1)
+        attn = _joint_attention_sm(q, k, v, cos, sin, cfg.head_dim)
+    else:
+        iq, ik, iv = _qkv(p["img_attn"], img_mod, heads)
+        tq, tk, tv = _qkv(p["txt_attn"], txt_mod, heads)
+        q = jnp.concatenate([tq, iq], axis=2)
+        k = jnp.concatenate([tk, ik], axis=2)
+        v = jnp.concatenate([tv, iv], axis=2)
+        attn = _joint_attention(q, k, v, cos, sin)
     txt_len = txt.shape[1]
     txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
 
@@ -196,20 +265,41 @@ def single_block(p: Params, x, vec, cos, sin, cfg: FluxConfig) -> jnp.ndarray:
     shift, scale, gate = _modulation(p["mod"], vec, 3)
     x_mod = _scale_shift(layer_norm(x), shift, scale)
     h = cfg.hidden_size
-    if "qkv_mlp" in p:
-        # fused q|k|v|proj_mlp projection (models/optimize.py)
-        fused = linear(x_mod, p["qkv_mlp"])
+    heads = cfg.num_attention_heads
+    if cfg.rope_fused:
+        # seq-major path: (cos, sin) carry the EXPANDED (ce, se) tables
         b, s, _ = x_mod.shape
-        def split_heads(t):
-            return t.reshape(b, s, cfg.num_attention_heads, -1).transpose(0, 2, 1, 3)
-        q = rms_norm(split_heads(fused[..., 0:h]), p["q_norm"])
-        k = rms_norm(split_heads(fused[..., h:2 * h]), p["k_norm"])
-        v = split_heads(fused[..., 2 * h:3 * h])
-        mlp_raw = fused[..., 3 * h:]
+
+        def norm_sm(t, scale_):
+            return rms_norm(t.reshape(b, s, heads, -1), scale_).reshape(b, s, -1)
+
+        if "qkv_mlp" in p:
+            fused = linear(x_mod, p["qkv_mlp"])
+            q = norm_sm(fused[..., 0:h], p["q_norm"])
+            k = norm_sm(fused[..., h:2 * h], p["k_norm"])
+            v = fused[..., 2 * h:3 * h]
+            mlp_raw = fused[..., 3 * h:]
+        else:
+            q, k, v = _qkv_sm(p, x_mod, heads)
+            mlp_raw = linear(x_mod, p["proj_mlp"])
+        attn = _joint_attention_sm(q, k, v, cos, sin, cfg.head_dim)
     else:
-        q, k, v = _qkv(p, x_mod, cfg.num_attention_heads)
-        mlp_raw = linear(x_mod, p["proj_mlp"])
-    attn = _joint_attention(q, k, v, cos, sin)
+        if "qkv_mlp" in p:
+            # fused q|k|v|proj_mlp projection (models/optimize.py)
+            fused = linear(x_mod, p["qkv_mlp"])
+            b, s, _ = x_mod.shape
+
+            def split_heads(t):
+                return t.reshape(b, s, heads, -1).transpose(0, 2, 1, 3)
+
+            q = rms_norm(split_heads(fused[..., 0:h]), p["q_norm"])
+            k = rms_norm(split_heads(fused[..., h:2 * h]), p["k_norm"])
+            v = split_heads(fused[..., 2 * h:3 * h])
+            mlp_raw = fused[..., 3 * h:]
+        else:
+            q, k, v = _qkv(p, x_mod, heads)
+            mlp_raw = linear(x_mod, p["proj_mlp"])
+        attn = _joint_attention(q, k, v, cos, sin)
     mlp = jax.nn.gelu(mlp_raw, approximate=True)
     out = linear(jnp.concatenate([attn, mlp], axis=-1), p["linear2"])
     return x + gate * out
@@ -271,6 +361,12 @@ def flux_forward(
     if pe is None:
         pe = compute_pe(cfg, txt_ids, img_ids)
     cos, sin = pe
+    if cfg.rope_fused:
+        # expand ONCE outside the block scan (see expand_rope_tables); the
+        # blocks receive (ce, se) through the same (cos, sin) slots.
+        from ..ops.rope import expand_rope_tables
+
+        cos, sin = expand_rope_tables(cos, sin)
 
     txt_h = linear(txt, params["txt_in"])
     img_h = linear(img, params["img_in"])

@@ -38,6 +38,106 @@ def _fuse_linears(lins) -> Linear:
     return Linear(w=w, b=b)
 
 
+def _head_halfsplit_perm(n_heads: int, head_dim: int):
+    """Per-head column permutation 2i -> i, 2i+1 -> i + D/2 (interleaved
+    RoPE pairs -> half-split/NeoX pairs). ``out[j] = old[perm[j]]``."""
+    import numpy as np
+
+    base = np.empty(head_dim, np.int64)
+    base[: head_dim // 2] = np.arange(0, head_dim, 2)
+    base[head_dim // 2:] = np.arange(1, head_dim, 2)
+    return np.concatenate(
+        [h * head_dim + base for h in range(n_heads)]
+    )
+
+
+def _permute_cols(lin: Linear, perm, lo: int, hi: int, width: int) -> Linear:
+    """Permute output columns [lo, hi) of a (possibly fused/quantized/stacked)
+    Linear by ``perm`` (indices relative to ``lo``); other columns keep."""
+    import numpy as np
+
+    n = width
+    full = np.arange(n, dtype=np.int64)
+    full[lo:hi] = lo + np.asarray(perm)
+    w = lin.w
+    if isinstance(w, QuantizedTensor):
+        from ..quant.qtensor import permute_n
+
+        w = permute_n(w, full)
+    else:
+        w = w[..., full]
+    b = None if lin.b is None else lin.b[..., full]
+    lora = lin.lora
+    if lora is not None:
+        a, bl = lora
+        lora = (a, bl[..., full])
+    return Linear(w=w, b=b, lora=lora)
+
+
+def rope_halfsplit_permute(params: dict, cfg) -> dict:
+    """Re-lay the q/k projection COLUMNS (and QK-norm scales) of every block
+    into the half-split RoPE convention: per head, pair element 2i moves to
+    i and 2i+1 to i + D/2.
+
+    Attention is invariant under any fixed permutation applied to BOTH q and
+    k head dims (q·k unchanged; RMS-norm denominators are permutation-
+    invariant; V untouched), so outputs are mathematically identical — but
+    the RoPE pair partner now sits a fixed D/2-lane rotation away, which is
+    what lets the flash kernel rotate q/k tiles in VMEM with two full-width
+    multiplies (SURVEY §7.4 "fused 3-axis RoPE"; the reference's equivalent
+    is a separate CUDA kernel, fused_rope.cu:75-213). Run AFTER ISQ / LoRA /
+    qkv fusion; models/flux.py switches to half-split application when
+    cfg.rope_fused is set."""
+    import numpy as np
+
+    heads = cfg.num_attention_heads
+    d = cfg.hidden_size // heads
+    h_total = cfg.hidden_size
+    perm = _head_halfsplit_perm(heads, d)
+    base = perm[:d]  # within-head permutation for norm scales
+
+    def norm_perm(scale):
+        return scale[..., np.asarray(base)]
+
+    def do_attn(attn: dict) -> dict:
+        attn = dict(attn)
+        if "qkv" in attn:  # fused q|k|v columns
+            w = attn["qkv"]
+            n = 3 * h_total
+            w = _permute_cols(w, perm, 0, h_total, n)
+            w = _permute_cols(w, perm, h_total, 2 * h_total, n)
+            attn["qkv"] = w
+        else:
+            attn["q"] = _permute_cols(attn["q"], perm, 0, h_total, h_total)
+            attn["k"] = _permute_cols(attn["k"], perm, 0, h_total, h_total)
+        attn["q_norm"] = norm_perm(attn["q_norm"])
+        attn["k_norm"] = norm_perm(attn["k_norm"])
+        return attn
+
+    params = dict(params)
+    double = dict(params["double"])
+    double["img_attn"] = do_attn(double["img_attn"])
+    double["txt_attn"] = do_attn(double["txt_attn"])
+    params["double"] = double
+
+    single = dict(params["single"])
+    if "qkv_mlp" in single:
+        w = single["qkv_mlp"]
+        n = w.b.shape[-1] if w.b is not None else (
+            w.w.n if isinstance(w.w, QuantizedTensor) else w.w.shape[-1]
+        )
+        w = _permute_cols(w, perm, 0, h_total, n)
+        w = _permute_cols(w, perm, h_total, 2 * h_total, n)
+        single["qkv_mlp"] = w
+    else:
+        single["q"] = _permute_cols(single["q"], perm, 0, h_total, h_total)
+        single["k"] = _permute_cols(single["k"], perm, 0, h_total, h_total)
+    single["q_norm"] = norm_perm(single["q_norm"])
+    single["k_norm"] = norm_perm(single["k_norm"])
+    params["single"] = single
+    return params
+
+
 def fuse_flux_qkv(params: dict) -> dict:
     """Returns a new param tree with fused projections:
 

@@ -171,6 +171,170 @@ def _flash_kernel_no_lse(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
     _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, **kw)
 
 
+def _flash_rope_kernel(
+    q_ref, k_ref, v_ref, ceq_ref, seq_ref, cek_ref, sek_ref,
+    o_ref, m_scratch, l_scratch, acc_scratch, qrot_scratch,
+    *, scale: float, kv_len: int, block_k: int, d: int
+):
+    """Seq-major flash attention with FUSED half-split RoPE (SURVEY §7.4).
+
+    Differences from _flash_kernel:
+    * q/k/v arrive in their natural post-projection layout [B, S, H*D] — the
+      BlockSpec index map slices each head's D columns, so the [B,H,S,D]
+      head-split transposes (and their HBM round-trips) disappear;
+    * q and k tiles are rotated IN VMEM: rot(x) = ce*x + se*roll(x, D/2)
+      (the half-split RoPE form — see ops/rope.py apply_rope_halfsplit and
+      the load-time column permutation in models/optimize.py). q is rotated
+      once per q tile (kv_i == 0) into scratch; k per kv tile. The separate
+      XLA rope over q/k (one extra HBM round-trip of each) disappears.
+    Reference equivalent: fused_rope.cu:75-213 applied inside attention at
+    models/flux/model.rs:97-103.
+    """
+    kv_i = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+        qf = q_ref[0].astype(jnp.float32)  # [bq, d]
+        qr = ceq_ref[0] * qf + seq_ref[0] * pltpu.roll(qf, d // 2, axis=1)
+        qrot_scratch[...] = qr.astype(qrot_scratch.dtype)
+
+    kf = k_ref[0].astype(jnp.float32)  # [bk, d]
+    kr = (cek_ref[0] * kf + sek_ref[0] * pltpu.roll(kf, d // 2, axis=1)
+          ).astype(k_ref.dtype)
+    s = jax.lax.dot_general(
+        qrot_scratch[...], kr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [bq, bk] f32
+
+    if kv_len % block_k != 0:
+        col = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scratch[...]
+    l_prev = l_scratch[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    v = v_ref[0]  # [bk, d]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_i == n_kv - 1)
+    def _finalize():
+        l = l_scratch[...][:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[...] * pl.reciprocal(
+            l_safe, approx=False
+        )).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("head_dim", "scale", "block_q", "block_k", "interpret"),
+)
+def _flash_rope_call(q, k, v, ce_q, se_q, ce_k, se_k, head_dim, scale,
+                     block_q, block_k, interpret):
+    """q/k/v: [B, S, H*D] seq-major; ce/se: [B, S, D] f32 expanded tables
+    (ops/rope.py expand_rope_tables). Output [B, Sq, H*D]."""
+    b, sq, n = q.shape
+    skv = k.shape[1]
+    d = head_dim
+    h = n // d
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_k)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+        ce_q = jnp.pad(ce_q, ((0, 0), (0, sq_p - sq), (0, 0)))
+        se_q = jnp.pad(se_q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        k = jnp.pad(k, ((0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, 0)))
+        ce_k = jnp.pad(ce_k, ((0, 0), (0, skv_p - skv), (0, 0)))
+        se_k = jnp.pad(se_k, ((0, 0), (0, skv_p - skv), (0, 0)))
+
+    grid = (b, h, sq_p // block_q, skv_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_rope_kernel, scale=scale, kv_len=skv, block_k=block_k, d=d
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, qi, ki: (b_, qi, h_)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, qi, ki: (b_, ki, h_)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, qi, ki: (b_, ki, h_)),
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, qi, ki: (b_, qi, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, qi, ki: (b_, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, qi, ki: (b_, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, qi, ki: (b_, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b_, h_, qi, ki: (b_, qi, h_)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, n), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * skv_p * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + b * sq_p * n * q.dtype.itemsize,
+            transcendentals=b * h * sq_p * skv_p,
+        ),
+        interpret=interpret,
+    )(q, k, v, ce_q, se_q, ce_k, se_k)
+    return out[:, :sq, :] if sq_p != sq else out
+
+
+def flash_attention_fused(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    ce: jnp.ndarray,
+    se: jnp.ndarray,
+    head_dim: int,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Seq-major self-attention with fused RoPE: q/k/v [B, S, H*D] (the
+    natural projection output layout), expanded tables ce/se [B, S, D]
+    (expand_rope_tables). Requires head_dim to be a lane multiple (128) —
+    callers fall back to the unfused path otherwise."""
+    if head_dim % 128 != 0:
+        raise NotImplementedError("fused-RoPE kernel needs head_dim % 128 == 0")
+    if q.shape[-1] % head_dim != 0:
+        raise NotImplementedError("q last dim must be a head_dim multiple")
+    if scale is None:
+        scale = 1.0 / (head_dim ** 0.5)
+    block_q = min(block_q, _round_up(q.shape[1], 128))
+    block_k = min(block_k, _round_up(k.shape[1], 128))
+    from .partitioned import make_partitioned_flash_rope
+
+    fa = make_partitioned_flash_rope(
+        head_dim, float(scale), block_q, block_k, interpret
+    )
+    return fa(q, k, v, ce, se)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

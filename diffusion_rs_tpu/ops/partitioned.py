@@ -134,6 +134,83 @@ def make_partitioned_flash(scale: float, block_q: int, block_k: int,
     return fa
 
 
+@functools.lru_cache(None)
+def make_partitioned_flash_rope(head_dim: int, scale: float, block_q: int,
+                                block_k: int, interpret: bool = False):
+    """Fused-RoPE seq-major flash attention with a GSPMD rule.
+
+    q/k/v are [B, S, H*D]: batch shards over dp; the LAST dim shards over tp
+    (head sharding — the column-parallel qkv projections already produce it
+    sharded that way, so no resharding happens); tables [B, S, D] stay
+    replicated along heads. A sequence-sharded q (sp) falls back to
+    XLA-rope + RING attention (the tables are sharded with s, so each chip
+    rotates its local chunk with the correct global positions)."""
+    from .flash_pallas import _flash_rope_call
+    from .rope import apply_rope_halfsplit
+
+    @custom_partitioning
+    def fa(q, k, v, ce, se):
+        return _flash_rope_call(q, k, v, ce, se, ce, se, head_dim, scale,
+                                block_q, block_k, interpret)
+
+    def _q_spec(arg_shapes):
+        spec = tuple(_spec_of(arg_shapes[0].sharding))
+        return spec + (None,) * (3 - len(spec))
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, s_ax, n_ax = _q_spec(arg_shapes)
+        return NamedSharding(mesh, P(b_ax, s_ax, n_ax))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, s_ax, n_ax = _q_spec(arg_shapes)
+        sq = arg_shapes[0].shape[1]
+        skv = arg_shapes[1].shape[1]
+        ring_ok = (
+            s_ax is not None
+            and not isinstance(s_ax, tuple)
+            and sq == skv
+            and sq % mesh.shape[s_ax] == 0
+        )
+        if ring_ok:
+            n_ring = mesh.shape[s_ax]
+            sh = NamedSharding(mesh, P(b_ax, s_ax, n_ax))
+            tab_sh = NamedSharding(mesh, P(b_ax, s_ax, None))
+
+            def impl(q, k, v, ce, se):
+                b, s_loc, n = q.shape
+                h = n // head_dim
+                # recover (cos, sin) for the local chunk and rope via XLA
+                cos = ce[..., : head_dim // 2]
+                sin = se[..., head_dim // 2:]
+
+                def split(t):
+                    return t.reshape(b, s_loc, h, head_dim).transpose(0, 2, 1, 3)
+
+                qr = apply_rope_halfsplit(split(q), cos, sin)
+                kr = apply_rope_halfsplit(split(k), cos, sin)
+                o = ring_attention(qr, kr, split(v), s_ax, n_ring, scale,
+                                   block_q, block_k, interpret)
+                return o.transpose(0, 2, 1, 3).reshape(b, s_loc, n)
+
+            return mesh, impl, sh, (sh, sh, sh, tab_sh, tab_sh)
+
+        sh = NamedSharding(mesh, P(b_ax, None, n_ax))
+        tab_sh = NamedSharding(mesh, P(b_ax, None, None))
+
+        def impl(q, k, v, ce, se):
+            return _flash_rope_call(q, k, v, ce, se, ce, se, head_dim, scale,
+                                    block_q, block_k, interpret)
+
+        return mesh, impl, sh, (sh, sh, sh, tab_sh, tab_sh)
+
+    fa.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b s n, b t n, b t n, b s d, b s d -> b s n",
+    )
+    return fa
+
+
 def _local_k_ok(kl: int, bits: int, group: int, split: int) -> bool:
     """Whether a K-shard of length ``kl`` satisfies the kernel's tiling: whole
     split blocks (4-bit nibble layout), whole scale groups, and a K-tile that

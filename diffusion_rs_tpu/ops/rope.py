@@ -46,6 +46,42 @@ def rope_tables(
     return jnp.concatenate(coss, axis=-1), jnp.concatenate(sins, axis=-1)
 
 
+def apply_rope_halfsplit(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, seq_axis: int = 2
+) -> jnp.ndarray:
+    """Rotate HALF-SPLIT pairs (i, i + D/2) of the last dim.
+
+    Mathematically identical to :func:`apply_rope` on inputs whose head dim
+    was permuted 2i -> i, 2i+1 -> i + D/2 (models/optimize.py
+    rope_halfsplit_permute applies that permutation to the q/k projection
+    COLUMNS at load, which leaves q·k — and hence attention — unchanged).
+    The half-split form is what the fused flash kernel implements: the pair
+    partner sits a fixed 64-lane rotation away instead of in the adjacent
+    lane, so the rotation vectorizes as two full-width multiplies
+    (flash_pallas.py). x: [B, H, S, D] (``seq_axis=2``, the default) or
+    [B, S, H, D] (``seq_axis=1``); cos/sin: [B, S, D/2]."""
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., : d // 2], xf[..., d // 2:]
+    if seq_axis == 2:
+        c, sn = cos[:, None], sin[:, None]        # broadcast over H at axis 1
+    else:
+        c, sn = cos[:, :, None], sin[:, :, None]  # broadcast over H at axis 2
+    out = jnp.concatenate([c * x1 - sn * x2, sn * x1 + c * x2], axis=-1)
+    return out.astype(x.dtype)
+
+
+def expand_rope_tables(
+    cos: jnp.ndarray, sin: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) [B, S, D/2] -> full-width (ce, se) [B, S, D] f32 for the
+    fused flash kernel: rotated = ce*x + se*halfroll(x) where
+    halfroll swaps the two D/2 halves, ce = [cos | cos], se = [-sin | sin]."""
+    ce = jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32)
+    se = jnp.concatenate([-sin, sin], axis=-1).astype(jnp.float32)
+    return ce, se
+
+
 def apply_rope(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:

@@ -268,6 +268,22 @@ def load_pipeline(
             except ValueError as e:
                 if not silent:
                     log.info("qkv fusion skipped: %s", e)
+        # RoPE half-split re-layout (AFTER isq/lora/fuse — it permutes the
+        # final q/k columns): enables the fused-RoPE seq-major flash kernel
+        # (SURVEY §7.4; flash_pallas._flash_rope_kernel). Mathematically
+        # exact (attention is invariant to a shared q/k head-dim
+        # permutation). DIFFUSION_RS_TPU_FUSED_ROPE=0 opts out.
+        if os.environ.get("DIFFUSION_RS_TPU_FUSED_ROPE", "1") != "0":
+            import dataclasses as _dc
+
+            from ..models.optimize import rope_halfsplit_permute
+
+            try:
+                flux_params = rope_halfsplit_permute(flux_params, flux_cfg)
+                flux_cfg = _dc.replace(flux_cfg, rope_fused=True)
+            except (ValueError, KeyError, TypeError) as e:
+                if not silent:
+                    log.info("rope half-split re-layout skipped: %s", e)
     if not silent:
         log.info(
             "loaded FLUX transformer (%d double + %d single blocks, guidance=%s)",

@@ -183,6 +183,27 @@ def slice_n(qt: "QuantizedTensor", start: int, end: int) -> "QuantizedTensor":
     )
 
 
+def permute_n(qt: "QuantizedTensor", idx) -> "QuantizedTensor":
+    """Reorder a canonical tensor's OUT-feature (N) columns by ``idx`` —
+    exact (every plane is column-independent), like :func:`slice_n`. Used by
+    the RoPE half-split weight permutation (models/optimize.py)."""
+    import numpy as np
+
+    idx = np.asarray(idx)
+    return QuantizedTensor(
+        packed=qt.packed[..., idx],
+        scale=qt.scale[..., idx],
+        bias=None if qt.bias is None else qt.bias[..., idx],
+        codebook=qt.codebook,
+        kind=qt.kind,
+        bits=qt.bits,
+        group=qt.group,
+        split=qt.split,
+        shape=qt.shape,
+        out_dtype=qt.out_dtype,
+    )
+
+
 def concat_n(tensors) -> "QuantizedTensor":
     """Concatenate canonical tensors along the OUT-feature (N) axis.
 

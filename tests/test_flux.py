@@ -207,3 +207,84 @@ def test_denoise_scan_full_model(tiny_setup):
     out = jax.jit(lambda i: denoise_scan(step, i, sigmas))(img)
     assert out.shape == img.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# RoPE half-split re-layout + fused-RoPE seq-major attention (SURVEY §7.4)
+# ---------------------------------------------------------------------------
+
+
+def _fused_setup(tiny_setup, transform):
+    import dataclasses
+
+    from diffusion_rs_tpu.models.flux import compute_pe
+    from diffusion_rs_tpu.models.optimize import rope_halfsplit_permute
+
+    params, img, txt, t, y, g, txt_ids, img_ids = tiny_setup
+    params = transform(params)
+    pe = compute_pe(TINY, txt_ids, img_ids)
+    base = flux_forward(params, TINY, img, txt, t, y, g, pe=pe)
+    pp = rope_halfsplit_permute(params, TINY)
+    cfg_f = dataclasses.replace(TINY, rope_fused=True)
+    out = flux_forward(pp, cfg_f, img, txt, t, y, g, pe=pe)
+    return np.asarray(base), np.asarray(out)
+
+
+@pytest.mark.parametrize("layout", ["plain", "fused_qkv", "quantized"])
+def test_rope_halfsplit_permutation_is_exact(tiny_setup, layout, monkeypatch):
+    """Attention is invariant under the shared q/k head-dim permutation
+    (models/optimize.rope_halfsplit_permute), so the half-split path must
+    reproduce the interleaved path within float noise — for dense, fused-qkv
+    and quantized param layouts (reference Metal SDPA budget 5e-4,
+    nn/tests/sdpa.rs:32-37; measured ~2e-7)."""
+    if layout == "fused_qkv":
+        from diffusion_rs_tpu.models.optimize import fuse_flux_qkv as tf
+    elif layout == "quantized":
+        monkeypatch.setenv("DIFFUSION_RS_TPU_ISQ_MIN", "8")
+
+        from diffusion_rs_tpu.quant.isq import isq_tree
+
+        def tf(p):
+            return isq_tree(p, "q8_0")
+    else:
+        def tf(p):
+            return p
+    base, out = _fused_setup(tiny_setup, tf)
+    rel = np.abs(base - out).sum() / np.abs(base).sum()
+    assert rel < 5e-4, rel
+
+
+def test_fused_rope_kernel_matches_xla_halfsplit(monkeypatch):
+    """The seq-major fused-RoPE Pallas kernel (interpret mode) must match
+    the XLA half-split fallback (head_dim 128 — the FLUX production size)."""
+    import dataclasses
+
+    from diffusion_rs_tpu.models.flux import compute_pe
+    from diffusion_rs_tpu.models.optimize import rope_halfsplit_permute
+    from diffusion_rs_tpu.ops import attention
+
+    cfg = FluxConfig(
+        in_channels=16, pooled_projection_dim=32, joint_attention_dim=24,
+        num_attention_heads=2, num_layers=1, num_single_layers=1,
+        guidance_embeds=False, hidden_size=256, axes_dim=(32, 48, 48),
+    )
+    key = jax.random.PRNGKey(3)
+    params = init_flux_params(key, cfg, dtype=jnp.float32)
+    b = 2
+    img = jax.random.normal(jax.random.PRNGKey(4), (b, 8, 16), jnp.float32)
+    txt = jax.random.normal(jax.random.PRNGKey(5), (b, 4, 24), jnp.float32)
+    t = jnp.full((b,), 0.5, jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(6), (b, 32), jnp.float32)
+    pe = compute_pe(cfg, make_txt_ids(b, 4), make_img_ids(b, 2, 4))
+    pp = rope_halfsplit_permute(params, cfg)
+    cfg_f = dataclasses.replace(cfg, rope_fused=True)
+
+    xla = flux_forward(pp, cfg_f, img, txt, t, y, pe=pe)
+    monkeypatch.setenv("DIFFUSION_RS_TPU_FLASH", "interpret")
+    attention._flash_mode.cache_clear()
+    try:
+        kern = flux_forward(pp, cfg_f, img, txt, t, y, pe=pe)
+    finally:
+        attention._flash_mode.cache_clear()
+    rel = np.abs(np.asarray(xla) - np.asarray(kern)).sum() / np.abs(np.asarray(xla)).sum()
+    assert rel < 5e-4, rel
