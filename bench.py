@@ -59,14 +59,15 @@ PRESETS = {
 
 
 def _maybe_rope_fused(params, cfg):
-    """Mirror the loader's default-on RoPE half-split re-layout
-    (pipelines/loader.py): the bench constructs params directly, so it must
-    apply the same transform to measure the production path.
-    DIFFUSION_RS_TPU_FUSED_ROPE=0 opts out (measures the unfused path)."""
+    """Mirror the loader's (opt-in) RoPE half-split re-layout
+    (pipelines/loader.py): the bench constructs params directly, so it
+    applies the same transform when DIFFUSION_RS_TPU_FUSED_ROPE=1 — used to
+    measure the alternate attention layouts (BENCH.md r3: all measured
+    slower than the interleaved baseline on v5e)."""
     import dataclasses
     import os
 
-    if os.environ.get("DIFFUSION_RS_TPU_FUSED_ROPE", "1") == "0":
+    if os.environ.get("DIFFUSION_RS_TPU_FUSED_ROPE", "0") != "1":
         return params, cfg
     from diffusion_rs_tpu.models.optimize import rope_halfsplit_permute
 
@@ -402,8 +403,10 @@ def bench_step(args, preset) -> int:
             ), dtype)
         params = None
         stream_parts = one
-    elif args.impl == "q4" and not args.small:
-        params = init_flux_params_quantized(key, cfg, dtype)
+    elif args.impl in ("q4", "q8t") and not args.small:
+        params = init_flux_params_quantized(
+            key, cfg, dtype, kind="q8t" if args.impl == "q8t" else "nf4"
+        )
     else:
         params = init_flux_params(key, cfg, dtype)
     import os
@@ -537,7 +540,7 @@ def main():
     ap.add_argument("--steps-image", type=int, default=None,
                     help="denoise steps per image (image mode; default preset)")
     ap.add_argument("--iters", type=int, default=3, help="timed images (image mode)")
-    ap.add_argument("--impl", choices=["q4", "dense"], default="q4")
+    ap.add_argument("--impl", choices=["q4", "q8t", "dense"], default="q4")
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--preset", choices=list(PRESETS), default=None,

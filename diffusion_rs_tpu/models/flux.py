@@ -173,15 +173,29 @@ def _qkv_sm(p: Params, x: jnp.ndarray, n_heads: int):
 
 
 def _joint_attention_sm(q, k, v, ce, se, head_dim: int):
-    """Seq-major joint attention with fused RoPE: q/k/v [B, S, H*D]; ce/se
-    the expanded half-split tables (ops/rope.py expand_rope_tables). Output
-    [B, S, H*D] — exactly the layout the output projection wants, so neither
-    the head split nor the merge transposes exist on this path. Requires
-    params permuted by models/optimize.rope_halfsplit_permute."""
+    """Joint attention in the half-split RoPE convention: q/k/v [B, S, H*D]
+    (the natural projection output layout), ce/se the expanded tables
+    (ops/rope.py expand_rope_tables). Requires params permuted by
+    models/optimize.rope_halfsplit_permute.
+
+    Layouts (DIFFUSION_RS_TPU_ATTN_LAYOUT, trace-time):
+    * ``bhsd`` (default) — half-split rope + head-split transpose + the
+      classic [B,H,S,D] flash kernel. Measured FASTEST on v5e: XLA fuses the
+      transposes into producers, the kernel's per-(b,h) blocks are
+      contiguous DMA, and half-split rope is contiguous-slice math (vs the
+      interleaved path's pair shuffles).
+    * ``seqmajor`` — no transposes; kernel slices each head's columns from
+      [B, S, H*D]. Measured slower (strided block DMA; BENCH.md r3).
+    * ``inkernel`` — rope fused into the kernel. Measured slower (f32 table
+      streaming per kv tile; BENCH.md r3).
+    """
+    import os
+
     from ..ops.attention import _flash_mode
 
+    layout = os.environ.get("DIFFUSION_RS_TPU_ATTN_LAYOUT", "bhsd")
     mode = _flash_mode()
-    if mode and head_dim % 128 == 0:
+    if mode and head_dim % 128 == 0 and layout in ("seqmajor", "inkernel"):
         from ..ops.flash_pallas import flash_attention_fused
 
         try:
@@ -191,7 +205,7 @@ def _joint_attention_sm(q, k, v, ce, se, head_dim: int):
             )
         except NotImplementedError:
             pass
-    # XLA fallback (CPU / odd head dims): half-split rope + standard sdpa.
+    # bhsd (or CPU / odd head dims): half-split rope + standard sdpa.
     from ..ops.rope import apply_rope_halfsplit
 
     b, s, n = q.shape

@@ -303,6 +303,114 @@ def _flash_rope_call(q, k, v, ce_q, se_q, ce_k, se_k, head_dim, scale,
     return out[:, :sq, :] if sq_p != sq else out
 
 
+def _flash_sm_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    *, scale: float, kv_len: int, block_k: int
+):
+    """Seq-major flash attention (no in-kernel rope): q/k/v blocks are
+    per-head column slices of [B, S, H*D] — the head-split/merge transposes
+    disappear; rope is applied OUTSIDE in half-split form where XLA fuses it
+    into the projection epilogue. Measured on-chip: streaming the f32 rope
+    tables per kv tile (the _flash_rope_kernel variant) costs more HBM
+    bandwidth than the fused rotation saves (BENCH.md round 3), so this is
+    the production kernel; the full-fusion variant stays opt-in."""
+    kv_i = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    if kv_len % block_k != 0:
+        col = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scratch[...]
+    l_prev = l_scratch[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    v = v_ref[0]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_i == n_kv - 1)
+    def _finalize():
+        l = l_scratch[...][:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[...] * pl.reciprocal(
+            l_safe, approx=False
+        )).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("head_dim", "scale", "block_q", "block_k", "interpret"),
+)
+def _flash_sm_call(q, k, v, head_dim, scale, block_q, block_k, interpret):
+    """Seq-major [B, S, H*D] flash attention call (rope already applied)."""
+    b, sq, n = q.shape
+    skv = k.shape[1]
+    d = head_dim
+    h = n // d
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_k)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        k = jnp.pad(k, ((0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, 0)))
+
+    grid = (b, h, sq_p // block_q, skv_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_sm_kernel, scale=scale, kv_len=skv, block_k=block_k
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, h_, qi, ki: (b_, qi, h_)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, qi, ki: (b_, ki, h_)),
+            pl.BlockSpec((1, block_k, d), lambda b_, h_, qi, ki: (b_, ki, h_)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b_, h_, qi, ki: (b_, qi, h_)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, n), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_p * skv_p * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + b * sq_p * n * q.dtype.itemsize,
+            transcendentals=b * h * sq_p * skv_p,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :sq, :] if sq_p != sq else out
+
+
 def flash_attention_fused(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -314,11 +422,18 @@ def flash_attention_fused(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    rope_in_kernel: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Seq-major self-attention with fused RoPE: q/k/v [B, S, H*D] (the
     natural projection output layout), expanded tables ce/se [B, S, D]
     (expand_rope_tables). Requires head_dim to be a lane multiple (128) —
-    callers fall back to the unfused path otherwise."""
+    callers fall back to the unfused path otherwise.
+
+    ``rope_in_kernel``: rotate q/k tiles inside the kernel; default (False /
+    DIFFUSION_RS_TPU_ATTN_LAYOUT=inkernel) rotates outside, where XLA fuses
+    the half-split rotation into the projection epilogue — the in-kernel
+    variant re-streams the f32 tables per kv tile and measured SLOWER
+    (BENCH.md r3); kept for future-hardware re-evaluation."""
     if head_dim % 128 != 0:
         raise NotImplementedError("fused-RoPE kernel needs head_dim % 128 == 0")
     if q.shape[-1] % head_dim != 0:
@@ -327,10 +442,16 @@ def flash_attention_fused(
         scale = 1.0 / (head_dim ** 0.5)
     block_q = min(block_q, _round_up(q.shape[1], 128))
     block_k = min(block_k, _round_up(k.shape[1], 128))
+    import os
+
     from .partitioned import make_partitioned_flash_rope
 
+    if rope_in_kernel is None:
+        rope_in_kernel = (
+            os.environ.get("DIFFUSION_RS_TPU_ATTN_LAYOUT") == "inkernel"
+        )
     fa = make_partitioned_flash_rope(
-        head_dim, float(scale), block_q, block_k, interpret
+        head_dim, float(scale), block_q, block_k, interpret, rope_in_kernel
     )
     return fa(q, k, v, ce, se)
 

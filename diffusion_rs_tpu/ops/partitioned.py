@@ -136,7 +136,8 @@ def make_partitioned_flash(scale: float, block_q: int, block_k: int,
 
 @functools.lru_cache(None)
 def make_partitioned_flash_rope(head_dim: int, scale: float, block_q: int,
-                                block_k: int, interpret: bool = False):
+                                block_k: int, interpret: bool = False,
+                                rope_in_kernel: bool = False):
     """Fused-RoPE seq-major flash attention with a GSPMD rule.
 
     q/k/v are [B, S, H*D]: batch shards over dp; the LAST dim shards over tp
@@ -145,13 +146,32 @@ def make_partitioned_flash_rope(head_dim: int, scale: float, block_q: int,
     replicated along heads. A sequence-sharded q (sp) falls back to
     XLA-rope + RING attention (the tables are sharded with s, so each chip
     rotates its local chunk with the correct global positions)."""
-    from .flash_pallas import _flash_rope_call
+    from .flash_pallas import _flash_rope_call, _flash_sm_call
     from .rope import apply_rope_halfsplit
+
+    def _dense(q, k, v, ce, se):
+        if rope_in_kernel:
+            return _flash_rope_call(q, k, v, ce, se, ce, se, head_dim, scale,
+                                    block_q, block_k, interpret)
+        # rope outside (XLA fuses it into the projection epilogue), then the
+        # seq-major kernel — the measured-faster default (BENCH.md r3)
+        b, s_, n = q.shape
+        h = n // head_dim
+        cos = ce[..., : head_dim // 2]
+        sin = se[..., head_dim // 2:]
+
+        def rot(t):
+            t4 = t.reshape(b, t.shape[1], h, head_dim)
+            return apply_rope_halfsplit(t4, cos, sin, seq_axis=1).reshape(
+                b, t.shape[1], n
+            )
+
+        return _flash_sm_call(rot(q), rot(k), v, head_dim, scale,
+                              block_q, block_k, interpret)
 
     @custom_partitioning
     def fa(q, k, v, ce, se):
-        return _flash_rope_call(q, k, v, ce, se, ce, se, head_dim, scale,
-                                block_q, block_k, interpret)
+        return _dense(q, k, v, ce, se)
 
     def _q_spec(arg_shapes):
         spec = tuple(_spec_of(arg_shapes[0].sharding))
@@ -196,12 +216,7 @@ def make_partitioned_flash_rope(head_dim: int, scale: float, block_q: int,
 
         sh = NamedSharding(mesh, P(b_ax, None, n_ax))
         tab_sh = NamedSharding(mesh, P(b_ax, None, None))
-
-        def impl(q, k, v, ce, se):
-            return _flash_rope_call(q, k, v, ce, se, ce, se, head_dim, scale,
-                                    block_q, block_k, interpret)
-
-        return mesh, impl, sh, (sh, sh, sh, tab_sh, tab_sh)
+        return mesh, _dense, sh, (sh, sh, sh, tab_sh, tab_sh)
 
     fa.def_partition(
         infer_sharding_from_operands=infer,

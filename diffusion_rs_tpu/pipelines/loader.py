@@ -269,11 +269,16 @@ def load_pipeline(
                 if not silent:
                     log.info("qkv fusion skipped: %s", e)
         # RoPE half-split re-layout (AFTER isq/lora/fuse — it permutes the
-        # final q/k columns): enables the fused-RoPE seq-major flash kernel
-        # (SURVEY §7.4; flash_pallas._flash_rope_kernel). Mathematically
-        # exact (attention is invariant to a shared q/k head-dim
-        # permutation). DIFFUSION_RS_TPU_FUSED_ROPE=0 opts out.
-        if os.environ.get("DIFFUSION_RS_TPU_FUSED_ROPE", "1") != "0":
+        # final q/k columns): enables the fused-RoPE / seq-major flash
+        # kernels (SURVEY §7.4; flash_pallas). Mathematically exact
+        # (attention is invariant to a shared q/k head-dim permutation).
+        # OPT-IN (DIFFUSION_RS_TPU_FUSED_ROPE=1): measured on v5e, every
+        # variant (half-split XLA rope 625.5 ms, in-kernel rotation 628.7,
+        # seq-major 631.9) loses to the interleaved baseline (615.4 ms
+        # north-star step, run noise ±0.2 ms) — XLA already fuses the rope
+        # and head transposes into producers, and the step is 86.6% Pallas
+        # custom-call time (BENCH.md r3). Kept for other topologies.
+        if os.environ.get("DIFFUSION_RS_TPU_FUSED_ROPE", "0") == "1":
             import dataclasses as _dc
 
             from ..models.optimize import rope_halfsplit_permute

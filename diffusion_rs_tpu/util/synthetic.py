@@ -54,6 +54,22 @@ def random_qtensor(
 ) -> QuantizedTensor:
     split = choose_split(k)
     lead = () if stack is None else (stack,)
+    if kind == "q8t":
+        # TPU-native int8 execution format: unpacked s8 plane, one scale per
+        # (K-tile, column) with group == kernel K-tile (quant/qtensor.py
+        # quantize_q8_tile), which routes ops/linear through the s8 x s8 MXU
+        # path of the fused kernel.
+        g = min(256, k)
+        packed = jnp.asarray(
+            _pool_u8(lead + (k, n), key).view(np.int8)
+        )
+        scale = jnp.full(lead + (k // g, n), 2.0 * k ** -0.5 / 127.0,
+                         jnp.float32)
+        return QuantizedTensor(
+            packed=packed, scale=scale, bias=None, codebook=None,
+            kind="q8t", bits=8, group=g, split=split, shape=(k, n),
+            out_dtype=out_dtype,
+        )
     packed = jnp.asarray(_pool_u8(lead + (k // 2, n), key))
     # absmax chosen so dequantized weights have ~1/sqrt(k) scale
     scale = jnp.full(lead + (k // group, n), 2.0 * k ** -0.5, jnp.float32)
@@ -116,16 +132,20 @@ def init_t5_params_quantized(key, cfg, dtype=jnp.bfloat16):
     }
 
 
-def init_flux_params_quantized(key, cfg, dtype=jnp.bfloat16):
-    """FLUX params with every linear nf4-quantized (Q4 bench configs).
-    Norm scales stay dense; biases are zeros."""
+def init_flux_params_quantized(key, cfg, dtype=jnp.bfloat16, kind="nf4"):
+    """FLUX params with every linear quantized (Q4/Q8 bench configs);
+    ``kind`` is "nf4" (default) or "q8t". Norm scales stay dense; biases
+    are zeros."""
     h, m = cfg.hidden_size, cfg.mlp_size
     hd = cfg.head_dim
     keys = iter(jax.random.split(key, 96))
 
     def qlin(k_in, n_out, stack=None):
         b = jnp.zeros((n_out,) if stack is None else (stack, n_out), dtype)
-        return Linear(w=random_qtensor(next(keys), k_in, n_out, stack=stack), b=b)
+        return Linear(
+            w=random_qtensor(next(keys), k_in, n_out, kind=kind, stack=stack),
+            b=b,
+        )
 
     def attn(stack):
         return {

@@ -39,7 +39,11 @@ def bench_qmm(args):
     import jax.numpy as jnp
 
     from diffusion_rs_tpu.quant import bnb
-    from diffusion_rs_tpu.quant.qtensor import quantize_q4_0, quantize_q8_0
+    from diffusion_rs_tpu.quant.qtensor import (
+        quantize_q4_0,
+        quantize_q8_0,
+        quantize_q8_tile,
+    )
     from diffusion_rs_tpu.ops.qmatmul_pallas import _qmm_call
 
     rng = np.random.default_rng(0)
@@ -49,6 +53,8 @@ def bench_qmm(args):
         qt = bnb.quantize_nf4(np.ascontiguousarray(w.T), blocksize=64)
     elif args.kind == "q4_0":
         qt = quantize_q4_0(w)
+    elif args.kind == "q8t":
+        qt = quantize_q8_tile(w)  # s8 x s8 MXU path (VERDICT r2 next #6)
     else:
         qt = quantize_q8_0(w)
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
@@ -80,6 +86,7 @@ def bench_qmm(args):
                     bits=qt.bits, group=qt.group, split=qt.split,
                     kn=qt.shape, out_dtype=jnp.dtype(jnp.bfloat16),
                     interpret=False, bm_cap=bm_cap, bn_cap=bn_cap,
+                    s8_act=(args.kind == "q8t"),
                     fast16=fast16,
                 )
             return y.sum()
@@ -98,6 +105,36 @@ def bench_qmm(args):
     else:
         tf = run(args.bm, args.bn)
         print(f"{args.kind} M{m} K{k} N{n} bm{args.bm} bn{args.bn}: {tf:.1f} TFLOP/s")
+
+
+def bench_flash_rope(args):
+    """Fused-RoPE seq-major kernel (SURVEY §7.4) vs its unfused equivalent:
+    the unfused number must add the XLA rope + transposes to be comparable —
+    this benches JUST the kernels; end-to-end deltas come from bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_rs_tpu.ops.flash_pallas import _flash_rope_call
+
+    rng = np.random.default_rng(0)
+    b, h, s, d = args.b, args.h, args.s, args.d
+    q = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.bfloat16)
+    ce = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    se = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    flops = 4.0 * b * h * s * s * d
+    reps = 20
+
+    @jax.jit
+    def f(q, ce, se):
+        y = q
+        for _ in range(reps):
+            y = _flash_rope_call(y, y, y, ce, se, ce, se, d,
+                                 float(d ** -0.5), args.bq, args.bk, False)
+        return y.sum()
+
+    t = _timeit(f, q, ce, se, iters=5) / reps
+    print(f"flashrope B{b} H{h} S{s} D{d} bq{args.bq} bk{args.bk}: "
+          f"{flops/t/1e12:.1f} TFLOP/s")
 
 
 def bench_flash(args):
@@ -126,11 +163,11 @@ def bench_flash(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["qmm", "sweep", "flash"])
+    ap.add_argument("cmd", choices=["qmm", "sweep", "flash", "flashrope"])
     ap.add_argument("--m", type=int, default=4608)
     ap.add_argument("--k", type=int, default=3072)
     ap.add_argument("--n", type=int, default=3072)
-    ap.add_argument("--kind", choices=["nf4", "q4_0", "q8_0"], default="nf4")
+    ap.add_argument("--kind", choices=["nf4", "q4_0", "q8_0", "q8t"], default="nf4")
     ap.add_argument("--bm", type=int, default=1536)
     ap.add_argument("--bn", type=int, default=512)
     ap.add_argument("--b", type=int, default=1)
@@ -142,6 +179,8 @@ def main():
     args = ap.parse_args()
     if args.cmd == "flash":
         bench_flash(args)
+    elif args.cmd == "flashrope":
+        bench_flash_rope(args)
     else:
         bench_qmm(args)
     return 0
