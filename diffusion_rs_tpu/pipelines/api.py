@@ -155,6 +155,17 @@ class Pipeline:
     def forward_images(self, prompts: Sequence[str], params: DiffusionGenerationParams):
         return self._inner.forward(list(prompts), params)
 
+    def forward_latents(
+        self, prompts: Sequence[str], params: DiffusionGenerationParams
+    ):
+        """Post-denoise packed latents [B, S, 64] as f32 (no VAE decode) —
+        diffusers' ``output_type="latent"``. The mid-pipeline observation
+        point: u8 image bands hide small numeric regressions that are
+        visible at f32 here."""
+        return self._inner.forward_arrays(
+            list(prompts), params, output_type="latent"
+        )
+
     def img2img(
         self,
         prompts: Sequence[str],

@@ -255,7 +255,8 @@ class FluxPipeline:
     # -- host front-end -------------------------------------------------------
 
     def forward_arrays(self, prompts: List[str], params, init_image=None,
-                       strength: float = 0.6, mask_image=None) -> np.ndarray:
+                       strength: float = 0.6, mask_image=None,
+                       output_type: str = "np") -> np.ndarray:
         """Returns u8 NHWC images [B, H, W, 3].
 
         ``init_image`` (PIL image / u8 array, or a list of them, one per
@@ -264,9 +265,17 @@ class FluxPipeline:
         interpolated ``sig0*noise + (1-sig0)*image_latent`` — the rectified-
         flow img2img construction (upstream FluxImg2ImgPipeline semantics;
         the reference has no img2img). ``strength`` in (0, 1]: fraction of
-        the schedule actually run (1.0 = ignore the image)."""
+        the schedule actually run (1.0 = ignore the image).
+
+        ``output_type="latent"`` (diffusers-compatible) returns the packed
+        post-denoise latent [B, S, 64] as f32 instead of decoding — the
+        mid-pipeline observation point for tight numeric comparisons (u8
+        images round away small regressions)."""
         import contextlib
 
+        if output_type not in ("np", "latent"):
+            raise ValueError(f"output_type must be 'np' or 'latent', got "
+                             f"{output_type!r}")
         ctx = (
             jax.sharding.set_mesh(self.mesh)
             if self.mesh is not None
@@ -276,7 +285,7 @@ class FluxPipeline:
         # whole generation (encode/denoise/decode named scopes inside).
         with ctx, maybe_profile("generate"):
             return self._forward_arrays(prompts, params, init_image, strength,
-                                        mask_image)
+                                        mask_image, output_type)
 
     def _prepare_image_batch(self, image, b: int, params) -> jnp.ndarray:
         """PIL/array image(s) -> [-1,1] f32 NHWC at the rounded resolution."""
@@ -311,7 +320,8 @@ class FluxPipeline:
         return jnp.tile(packed, (1, 1, 16))            # -> [B, S, 64]
 
     def _forward_arrays(self, prompts: List[str], params, init_image=None,
-                        strength: float = 0.6, mask_image=None) -> np.ndarray:
+                        strength: float = 0.6, mask_image=None,
+                        output_type: str = "np") -> np.ndarray:
         # T5 context: the variant default (512 dev / 256 schnell-hard-cap,
         # flux/mod.rs:243-253) unless the caller passes max_sequence_length
         # (diffusers-compatible override). The schnell cap stays a hard error
@@ -424,6 +434,9 @@ class FluxPipeline:
             )
             latent.block_until_ready()
             self._release("flux")
+
+        if output_type == "latent":
+            return np.asarray(jax.device_get(latent), np.float32)
 
         vae_params = self._component("vae", self.vae_params)
         # VAE decode is the peak-memory stage (the upsampled feature maps are
