@@ -21,6 +21,7 @@ accumulator; x·w runs in x.dtype (bf16) on the MXU with f32 accumulation.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +136,11 @@ def _qmm_kernel(
         # column). Activations are symmetric-int8-quantized per row per
         # K-tile in VMEM; the integer dot runs at the MXU's int8 rate and
         # one [bm,1]x[1,bn] rescale folds both scales into the f32 acc.
+        # NOTE: hoisting this quantize out to XLA was measured SLOWER
+        # (92 vs 150 TFLOP/s): at the full-N default tile there is only one
+        # n-tile so the in-VMEM quantize already runs once, while the
+        # hoisted version costs extra HBM passes over x (reduce-max + cast
+        # cannot fuse into the preceding custom-call's output).
         x = x_ref[...].astype(jnp.float32)
         ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # [bm, 1]
         sx = jnp.where(ax == 0.0, 1.0, ax / 127.0)
@@ -312,7 +318,8 @@ def quantized_matmul(
     bm_cap: int = 1536,
     # bn 1024 measured +7% on the wide single-block MLP linears (N=21504:
     # halves the x-block refetch count) and neutral at square FLUX shapes.
-    bn_cap: int = 1024,
+    # None = per-format default (q8t gets full-N tiles, see below).
+    bn_cap: Optional[int] = None,
 ) -> jnp.ndarray:
     """``x [..., K] @ deq(qt) [K, N] -> [..., N]`` with weights staying packed
     in HBM. Falls back to XLA dequant+matmul for shapes the kernel tiling
@@ -336,6 +343,15 @@ def quantized_matmul(
         qt.kind == "q8t" and qt.bits == 8 and qt.bias is None
         and qt.codebook is None and qt.group == min(256, k)
     )
+    if bn_cap is None:
+        # Per-format N-tile defaults (v5e, tools/kernel_bench.py round 3):
+        # the s8 path streams 1-byte packed tiles and pays one rescale per
+        # K-tile, so full-N tiles (fewer x-block refetches across the ni
+        # grid axis) win big: 132 -> 150 TFLOP/s at square FLUX shapes,
+        # 232 -> 265 at the MLP in/out pair. The 4-bit formats LOSE at
+        # full-N (102 -> 91: per-packed-tile decode cost scales with bn and
+        # the VMEM clamp shrinks bm), so they keep bn 1024.
+        bn_cap = 3072 if s8_act else 1024
     # Opt-in 16-bit in-VMEM decode (2x VPU lanes for the select tree / scale
     # math). Measured on v5e at FLUX shapes it is perf-neutral — the kernel
     # sits at ~86% of the dense-XLA speed of light and the VPU decode is NOT

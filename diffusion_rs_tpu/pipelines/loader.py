@@ -232,7 +232,9 @@ def load_pipeline(
             t5_params = isq_tree(t5_params, isq, imatrix=imat)
             if not silent:
                 log.info(
-                    "applied ISQ (%s%s) to transformer + T5 linears", isq,
+                    "applied ISQ (%s%s) to transformer + T5 linears "
+                    "(pre-quantized weights are requantized via host "
+                    "dequantize when their format differs)", isq,
                     ", imatrix-weighted" if imat else "",
                 )
         if lora:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .bnb import quantize_nf4
 from .gguf_quants import ENCODERS, gguf_to_canonical
-from .qtensor import QuantizedTensor, pack4, unpack4_np
+from .qtensor import QuantizedTensor, dequantize_np, pack4, unpack4_np
 
 # The reference's CUDA-legal IsqType set (lib.rs:102-128): Q4_0, Q4_1,
 # Q5_0, Q5_1, Q8_0, Q2K, Q3K, Q4K, Q5K, Q6K — all covered — plus the bnb
@@ -229,32 +229,46 @@ def isq_tree(params, target: str, min_features: Optional[int] = None,
         min_features = int(os.environ.get("DIFFUSION_RS_TPU_ISQ_MIN", "512"))
     divisor = _K_DIVISOR.get(target, 256)
 
+    def quantize_dense(w, names, k, b):
+        if w.ndim == 2:
+            imp = _imatrix_lookup(imatrix, names, None, k)
+            return Linear(
+                w=isq_quantize_weight(w, target, imatrix=imp), b=b
+            )
+        # stacked [L, K, N]: quantize per layer then restack planes
+        qts = [
+            isq_quantize_weight(
+                w[i], target,
+                imatrix=_imatrix_lookup(imatrix, names, i, k),
+            )
+            for i in range(w.shape[0])
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        return Linear(w=stacked, b=b)
+
     def visit(path, node):
-        if isinstance(node, Linear) and isinstance(node.w, jax.Array) \
-                and node.w.ndim >= 2:
+        if not isinstance(node, Linear):
+            return node
+        names = [
+            str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", ""))))
+            for p in path
+        ]
+        names = [x for x in names if x and x != "w"]
+        if isinstance(node.w, jax.Array) and node.w.ndim >= 2:
             k, n = node.w.shape[-2], node.w.shape[-1]
             if k >= min_features and n >= min_features and k % divisor == 0:
-                names = [
-                    str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", ""))))
-                    for p in path
-                ]
-                names = [x for x in names if x and x != "w"]
-                if node.w.ndim == 2:
-                    imp = _imatrix_lookup(imatrix, names, None, k)
-                    return Linear(
-                        w=isq_quantize_weight(node.w, target, imatrix=imp),
-                        b=node.b,
-                    )
-                # stacked [L, K, N]: quantize per layer then restack planes
-                qts = [
-                    isq_quantize_weight(
-                        node.w[i], target,
-                        imatrix=_imatrix_lookup(imatrix, names, i, k),
-                    )
-                    for i in range(node.w.shape[0])
-                ]
-                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
-                return Linear(w=stacked, b=node.b)
+                return quantize_dense(node.w, names, k, node.b)
+        elif isinstance(node.w, QuantizedTensor) and node.w.kind != target:
+            # Pre-quantized checkpoint + explicit ISQ target: REQUANTIZE
+            # (dequantize on host, re-encode). The reference only ISQs dense
+            # weights; this extension is what gives a q4-bnb checkpoint the
+            # TPU-native q8t (s8 x s8 MXU) execution format at load time —
+            # one extra int8 rounding (~0.1% rel) on top of the source
+            # format's own error.
+            qt = node.w
+            k, n = qt.shape[-2], qt.shape[-1]
+            if k >= min_features and n >= min_features and k % divisor == 0:
+                return quantize_dense(dequantize_np(qt), names, k, node.b)
         return node
 
     return jax.tree_util.tree_map_with_path(

@@ -165,6 +165,37 @@ def dequantize(qt: QuantizedTensor, dtype=None) -> jax.Array:
     return w.reshape(lead + (k, n)).astype(dtype)
 
 
+def dequantize_np(qt: QuantizedTensor) -> "np.ndarray":
+    """Host-side (numpy, f32) :func:`dequantize` — identical math, used by
+    load-time transforms (ISQ requantization) so nothing round-trips through
+    the accelerator. Supports leading stack dims like the jnp version."""
+    import numpy as np
+
+    k, n = qt.shape[-2], qt.shape[-1]
+    packed = np.asarray(jax.device_get(qt.packed))
+    lead = packed.shape[:-2]
+    if qt.bits == 4:
+        q = unpack4_np(packed.reshape(-1, n), qt.split).reshape(lead + (k, n))
+    else:
+        q = packed
+    if qt.codebook is not None:
+        cb = np.asarray(jax.device_get(qt.codebook), np.float32)
+        if cb.ndim == 2:  # stacked codebook [L, 16]
+            w = np.stack([cb[i][q[i].astype(np.int64)] for i in range(len(cb))])
+        else:
+            w = cb[q.astype(np.int64)]
+    else:
+        w = q.astype(np.float32)
+    groups = k // qt.group
+    w = w.reshape(lead + (groups, qt.group, n))
+    scale = np.asarray(jax.device_get(qt.scale), np.float32)
+    w = w * scale.reshape(lead + (groups, 1, n))
+    if qt.bias is not None:
+        bias = np.asarray(jax.device_get(qt.bias), np.float32)
+        w = w + bias.reshape(lead + (groups, 1, n))
+    return w.reshape(lead + (k, n)).astype(np.float32)
+
+
 def slice_n(qt: "QuantizedTensor", start: int, end: int) -> "QuantizedTensor":
     """Slice a canonical tensor along the OUT-feature (N) axis — exact, every
     plane is column-independent (inverse of :func:`concat_n`; used e.g. to

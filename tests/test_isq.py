@@ -63,6 +63,45 @@ def test_isq_tree_quantizes_stacked_and_skips_small(rng):
     assert isinstance(out["emb"].w, jax.Array)  # too small, left dense
 
 
+def test_isq_tree_requantizes_prequantized(rng):
+    """A Linear already holding a QuantizedTensor (pre-quantized checkpoint)
+    is REQUANTIZED when an explicit ISQ target differs from its kind —
+    the path that gives a q4-bnb checkpoint the TPU-native q8t execution
+    format. Dequantized values must match the source format's within the
+    extra int8 rounding (~0.4% of the group absmax)."""
+    from diffusion_rs_tpu.quant.bnb import quantize_nf4
+    from diffusion_rs_tpu.quant.qtensor import dequantize_np
+
+    w = (rng.standard_normal((512, 256)) * 0.03).astype(np.float32)
+    qt_nf4 = quantize_nf4(np.ascontiguousarray(w.T), blocksize=64)
+    w_nf4 = dequantize_np(qt_nf4)
+    tree = {"q": Linear(w=qt_nf4), "small": Linear(w=qt_nf4)}
+    out = isq_tree(tree, "q8t", min_features=256)
+    assert out["q"].w.kind == "q8t"
+    w_req = dequantize_np(out["q"].w)
+    err = np.abs(w_req - w_nf4).mean()
+    assert err <= 0.0005, err  # int8 rounding on top of nf4, not nf4 error
+    # same-kind target is a no-op (no pointless precision loss)
+    same = isq_tree(tree, "nf4", min_features=256)
+    assert same["q"].w is qt_nf4
+
+
+def test_isq_tree_requantizes_stacked(rng):
+    from diffusion_rs_tpu.quant.bnb import quantize_nf4
+    from diffusion_rs_tpu.quant.qtensor import dequantize_np
+
+    ws = [(rng.standard_normal((512, 256)) * 0.03).astype(np.float32)
+          for _ in range(2)]
+    qts = [quantize_nf4(np.ascontiguousarray(w.T), blocksize=64) for w in ws]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    out = isq_tree({"q": Linear(w=stacked)}, "q8t", min_features=256)
+    got = out["q"].w
+    assert got.kind == "q8t" and got.packed.shape == (2, 512, 256)
+    w_all = dequantize_np(got)
+    for i in range(2):
+        assert np.abs(w_all[i] - dequantize_np(qts[i])).mean() <= 0.0005
+
+
 def test_isq_linear_forward_close(rng):
     w = (rng.standard_normal((512, 256)) * 0.03).astype(np.float32)
     x = jnp.asarray(rng.standard_normal((8, 512)), jnp.float32)

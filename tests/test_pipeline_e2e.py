@@ -140,6 +140,32 @@ def test_isq_quantizes_transformer_and_t5_e2e(ckpt, pipe, monkeypatch):
     assert diff.mean() < 24.0, diff.mean()
 
 
+def test_isq_requantizes_prequantized_checkpoint(tmp_path, monkeypatch):
+    """A pre-quantized (nf4) checkpoint + an explicit differing ISQ target
+    requantizes at load (host dequantize -> re-encode): the path that gives
+    a q4-bnb checkpoint the TPU-native q8t execution format. Output must
+    stay close to the plain nf4 pipeline (one extra int8 rounding)."""
+    import jax
+
+    from diffusion_rs_tpu.quant.qtensor import QuantizedTensor
+
+    monkeypatch.setenv("DIFFUSION_RS_TPU_ISQ_MIN", "8")
+    nf4_root = write_checkpoint(tmp_path / "q", seed=0, quant="nf4")
+    base = Pipeline(ModelSource.from_model_id(str(nf4_root)), silent=True)
+    req = Pipeline(ModelSource.from_model_id(str(nf4_root)), silent=True,
+                   isq="q8t")
+    kinds = {
+        x.kind for x in jax.tree.leaves(
+            req._inner.flux_params,
+            is_leaf=lambda x: isinstance(x, QuantizedTensor),
+        ) if isinstance(x, QuantizedTensor)
+    }
+    assert kinds == {"q8t"}, kinds
+    ia = np.asarray(base.forward_images(["a photo"], PARAMS)[0], np.float32)
+    ib = np.asarray(req.forward_images(["a photo"], PARAMS)[0], np.float32)
+    assert np.abs(ia - ib).mean() < 8.0, np.abs(ia - ib).mean()
+
+
 def test_dev_model_guidance_and_dynamic_shift(tmp_path):
     """Dev-style checkpoint: guidance embedder + dynamic mu shift + 512-token
     T5 pad; guidance scale changes the output (flux/mod.rs:297-315)."""

@@ -66,7 +66,26 @@ def bench_qmm(args):
 
     flops = 2.0 * m * k * n
 
-    assert k == n, "qmm bench chains y back into x; needs K == N"
+    # Rectangular shapes (K != N) chain a [K,N] / [N,K] weight pair so the
+    # composition maps [M,K] -> [M,K]; reported TFLOP/s averages both.
+    if k != n:
+        w2 = (rng.standard_normal((n, k)) * 0.02).astype(np.float32)
+        if args.kind == "nf4":
+            qt2 = bnb.quantize_nf4(np.ascontiguousarray(w2.T), blocksize=64)
+        elif args.kind == "q4_0":
+            qt2 = quantize_q4_0(w2)
+        elif args.kind == "q8t":
+            qt2 = quantize_q8_tile(w2)
+        else:
+            qt2 = quantize_q8_0(w2)
+        planes2 = [jnp.asarray(qt2.packed), jnp.asarray(qt2.scale)]
+        if qt2.bias is not None:
+            planes2.append(jnp.asarray(qt2.bias))
+        if qt2.codebook is not None:
+            planes2.append(jnp.asarray(qt2.codebook))
+        flops = 2.0 * 2.0 * m * k * n  # forward + back-projection per rep
+    else:
+        qt2, planes2 = None, None
 
     def run(bm_cap, bn_cap, reps=100):
         bias_i = 2 if qt.bias is not None else None
@@ -75,23 +94,31 @@ def bench_qmm(args):
 
         fast16 = bool(os.environ.get("DIFFUSION_RS_TPU_QMM_FAST16"))
 
+        def one(y, q, pl_, bm_cap_, bn_cap_):
+            return _qmm_call(
+                y, pl_[0], pl_[1],
+                pl_[bias_i] if bias_i is not None else None,
+                pl_[cb_i] if cb_i is not None else None,
+                bits=q.bits, group=q.group, split=q.split,
+                kn=q.shape, out_dtype=jnp.dtype(jnp.bfloat16),
+                interpret=False, bm_cap=bm_cap_, bn_cap=bn_cap_,
+                s8_act=(args.kind == "q8t"),
+                fast16=fast16,
+            )
+
         @jax.jit
         def f(x, *pl_):
             y = x
+            p1 = pl_[:len(planes)]
+            p2 = pl_[len(planes):]
             for _ in range(reps):  # chained: defeats CSE, amortizes dispatch
-                y = _qmm_call(
-                    y, pl_[0], pl_[1],
-                    pl_[bias_i] if bias_i is not None else None,
-                    pl_[cb_i] if cb_i is not None else None,
-                    bits=qt.bits, group=qt.group, split=qt.split,
-                    kn=qt.shape, out_dtype=jnp.dtype(jnp.bfloat16),
-                    interpret=False, bm_cap=bm_cap, bn_cap=bn_cap,
-                    s8_act=(args.kind == "q8t"),
-                    fast16=fast16,
-                )
+                y = one(y, qt, p1, bm_cap, bn_cap)
+                if qt2 is not None:
+                    y = one(y, qt2, p2, bm_cap, bn_cap)
             return y.sum()
 
-        t = _timeit(f, x, *planes, iters=5) / reps
+        extra = planes2 if planes2 is not None else []
+        t = _timeit(f, x, *planes, *extra, iters=5) / reps
         return flops / t / 1e12
 
     if args.cmd == "sweep":
