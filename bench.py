@@ -166,8 +166,18 @@ def bench_image(args, preset) -> int:
             jax.default_device(jax.devices("cpu")[0])
             if offload_enc else contextlib.nullcontext()
         )
-        if (preset["impl"] if preset else args.impl) == "q4":
-            flux_params = init_flux_params_quantized(ks[0], flux_cfg, dtype)
+        impl_sel = preset["impl"] if preset else args.impl
+        if impl_sel in ("q4", "q8t"):
+            # q8t: FLUX runs the s8xs8 MXU exec format (the load path reached
+            # by `--isq q8t`, incl. requantization of q4 checkpoints — the
+            # reference's CUDA analogue is mul_mat_vec_via_q8_1, requantizing
+            # q4 blocks to q8_1 at quantized/cuda.rs:227). T5 stays nf4: its
+            # one encode per image is off the hot path and nf4 halves its HBM
+            # so FLUX-q8t (~12 GB) + T5 still fit one 16 GB chip.
+            flux_params = init_flux_params_quantized(
+                ks[0], flux_cfg, dtype,
+                kind="q8t" if impl_sel == "q8t" else "nf4",
+            )
             with enc_ctx:
                 t5_params = init_t5_params_quantized(ks[1], t5_cfg, dtype)
         else:
@@ -540,7 +550,11 @@ def main():
     ap.add_argument("--steps-image", type=int, default=None,
                     help="denoise steps per image (image mode; default preset)")
     ap.add_argument("--iters", type=int, default=3, help="timed images (image mode)")
-    ap.add_argument("--impl", choices=["q4", "q8t", "dense"], default="q4")
+    # q8t is the default exec format for the north-star run: the q4
+    # checkpoint requantized to the TPU-native s8xs8 int8 format at load
+    # (`--isq q8t`; reference analogue mul_mat_vec_via_q8_1,
+    # quantized/cuda.rs:227). Measured 1.40x the nf4 exec step (BENCH.md r3).
+    ap.add_argument("--impl", choices=["q4", "q8t", "dense"], default="q8t")
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--preset", choices=list(PRESETS), default=None,
