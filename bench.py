@@ -47,9 +47,15 @@ R1_STEP_MS = {
 # BASELINE.md targets: 1 schnell q4 256^2x4; 2 dev q4 720x1280x50;
 # 3 dev bf16 1024^2x28 (>16GB HBM single-chip — streamed); 4 schnell q4
 # batch-8 1024^2; 5 dev q4 2048^2 (16k-token attention).
+# Exec-format defaults are the measured-best per config (BENCH.md r3):
+# q8t wins at batch-1 (1.4-1.6x) but LOSES at batch-8 (weights amortized 8x,
+# activation-quantize cost scales with M — measured 6.10 vs 5.63 s/step) and
+# exceeds single-chip HBM for the 2048^2 whole-image path (12 GB weights +
+# 16k-token activations + decode; step-only q8t measured 2748 ms = 1.37x,
+# viable on a tp-sharded mesh where weights split across chips).
 PRESETS = {
-    "schnell-256": dict(res=256, batch=1, impl="q4", guidance=False, txt=256, steps=4),
-    "dev-720x1280": dict(res=(720, 1280), batch=1, impl="q4", guidance=True, txt=512, steps=50),
+    "schnell-256": dict(res=256, batch=1, impl="q8t", guidance=False, txt=256, steps=4),
+    "dev-720x1280": dict(res=(720, 1280), batch=1, impl="q8t", guidance=True, txt=512, steps=50),
     "dev-1024-bf16": dict(res=1024, batch=1, impl="dense", guidance=True, txt=512, steps=28),
     "schnell-1024-b8": dict(res=1024, batch=8, impl="q4", guidance=False,
                             txt=256, steps=4, offload_encoders=True),
@@ -166,7 +172,7 @@ def bench_image(args, preset) -> int:
             jax.default_device(jax.devices("cpu")[0])
             if offload_enc else contextlib.nullcontext()
         )
-        impl_sel = preset["impl"] if preset else args.impl
+        impl_sel = args.impl
         if impl_sel in ("q4", "q8t"):
             # q8t: FLUX runs the s8xs8 MXU exec format (the load path reached
             # by `--isq q8t`, incl. requantization of q4 checkpoints — the
@@ -188,7 +194,7 @@ def bench_image(args, preset) -> int:
         res = (res, res)
     flux_params, flux_cfg = _maybe_rope_fused(flux_params, flux_cfg)
     b = preset["batch"] if preset else args.batch
-    impl = (preset["impl"] if preset else args.impl) if not args.small else "dense-small"
+    impl = args.impl if not args.small else "dense-small"
 
     offload = None
     if not args.small and preset and preset.get("offload_encoders"):
@@ -529,7 +535,8 @@ def bench_step(args, preset) -> int:
     print(
         json.dumps({
             "metric": f"FLUX.1{'-dev' if cfg.guidance_embeds else '-schnell'} "
-            f"{res[0]}x{res[1]} {args.impl} images/sec/chip "
+            f"{res[0]}x{res[1]} {'dense-small' if args.small else args.impl} "
+            "images/sec/chip "
             f"(transformer step only; 28 steps, p50 step {p50*1e3:.1f} ms, batch {b}{overlap})",
             "value": round(images_per_sec_chip, 5),
             "unit": "images/sec/chip",
@@ -550,17 +557,21 @@ def main():
     ap.add_argument("--steps-image", type=int, default=None,
                     help="denoise steps per image (image mode; default preset)")
     ap.add_argument("--iters", type=int, default=3, help="timed images (image mode)")
-    # q8t is the default exec format for the north-star run: the q4
-    # checkpoint requantized to the TPU-native s8xs8 int8 format at load
-    # (`--isq q8t`; reference analogue mul_mat_vec_via_q8_1,
-    # quantized/cuda.rs:227). Measured 1.40x the nf4 exec step (BENCH.md r3).
-    ap.add_argument("--impl", choices=["q4", "q8t", "dense"], default="q8t")
+    # Default exec format: the preset's recorded impl, else q8t for the
+    # north-star run — the q4 checkpoint requantized to the TPU-native
+    # s8xs8 int8 format at load (`--isq q8t`; reference analogue
+    # mul_mat_vec_via_q8_1, quantized/cuda.rs:227). Measured 1.40x the
+    # nf4 exec step (BENCH.md r3). Passing --impl explicitly overrides
+    # the preset (e.g. `--preset dev-2048 --impl q8t`).
+    ap.add_argument("--impl", choices=["q4", "q8t", "dense"], default=None)
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--preset", choices=list(PRESETS), default=None,
                     help="BASELINE.md target configs 1-5")
     args = ap.parse_args()
     preset = PRESETS.get(args.preset)
+    if args.impl is None:
+        args.impl = preset["impl"] if preset else "q8t"
 
     if args.mode == "serve":
         return bench_serve(args, preset)
