@@ -507,12 +507,17 @@ def bench_step(args, preset) -> int:
             }))
             return 0
         raise
+    from diffusion_rs_tpu.util.tracing import maybe_profile
+
     times = []
-    for _ in range(args.steps):
-        t0 = time.perf_counter()
-        img = step(params, img)
-        img.block_until_ready()
-        times.append(time.perf_counter() - t0)
+    # DIFFUSION_RS_TPU_TRACE_DIR=... captures a jax.profiler trace of the
+    # timed steps (summarize with tools/profile_summary.py).
+    with maybe_profile("denoise-step"):
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            img = step(params, img)
+            img.block_until_ready()
+            times.append(time.perf_counter() - t0)
     p50 = statistics.median(times)
     images_per_sec_chip = b / (28.0 * p50)
     r1 = R1_STEP_MS.get(args.preset)
