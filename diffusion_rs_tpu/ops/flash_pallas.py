@@ -34,6 +34,17 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1536
 _NEG_INF = -1e30
 
+# Perf-DIAGNOSIS ablations (WRONG RESULTS — never set in production):
+#   noexp  — replace the softmax exp with a multiply (isolates the VPU
+#            transcendental cost from the MXU matmuls)
+#   nomax  — fixed softmax max, no running-max/rescale (isolates the
+#            max/alpha bookkeeping cost; still numerically a softmax if
+#            logits stay < ~80)
+# Read at trace time; used by tools/kernel_bench.py flash only.
+import os as _os
+
+_ABLATE = _os.environ.get("DIFFUSION_RS_TPU_FLASH_ABLATE", "")
+
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
@@ -59,22 +70,35 @@ def _flash_kernel(
         col = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, _NEG_INF)
 
-    m_prev = m_scratch[...]  # [bq, 128] lane-replicated
-    l_prev = l_scratch[...]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
-    m_next = jnp.maximum(m_prev, m_cur)  # broadcast -> [bq, 128]
-    alpha = jnp.exp(m_prev - m_next)  # [bq, 128]
-    p = jnp.exp(s - m_next[:, :1])  # [bq, bk]
-    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_scratch[...] = m_next
-    l_scratch[...] = l_next
+    if _ABLATE == "nomax":
+        # fixed max: no running max, no rescale (diagnosis only)
+        p = jnp.exp(s - 30.0)
+        l_next = l_scratch[...] + jnp.sum(p, axis=-1, keepdims=True)
+        l_scratch[...] = l_next
+        alpha = None
+    else:
+        m_prev = m_scratch[...]  # [bq, 128] lane-replicated
+        l_prev = l_scratch[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_cur)  # broadcast -> [bq, 128]
+        alpha = jnp.exp(m_prev - m_next)  # [bq, 128]
+        if _ABLATE == "noexp":
+            p = (s - m_next[:, :1]) * 0.001  # multiply instead of exp
+        else:
+            p = jnp.exp(s - m_next[:, :1])  # [bq, bk]
+        l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
 
     v = v_ref[0, 0]  # [bk, d]
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+    if alpha is None:
+        acc_scratch[...] = acc_scratch[...] + pv
+    else:
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
 
     @pl.when(kv_i == n_kv - 1)
     def _finalize():
