@@ -26,7 +26,13 @@ import numpy as np
 from ..models.clip import ClipTextConfig, clip_encode
 from ..models.flux import FluxConfig, compute_pe, flux_forward
 from ..models.t5 import T5Config, t5_encode
-from ..models.vae import VAEConfig, vae_decode, vae_decode_tiled, vae_encode
+from ..models.vae import (
+    VAEConfig,
+    vae_decode,
+    vae_decode_tiled,
+    vae_encode,
+    vae_encode_tiled,
+)
 from ..io.tokenizer import tokenize_and_pad
 from ..util.tracing import maybe_profile, trace_span
 from .sampling import (
@@ -224,9 +230,20 @@ class FluxPipeline:
         return self._to_u8_jit(img_out)
 
     def _encode_image(self, vae_params, x_nhwc, key):
-        """Image [-1,1] NHWC -> scaled NCHW latent (img2img init)."""
+        """Image [-1,1] NHWC -> scaled NCHW latent (img2img init). Past the
+        same HBM limit as decode (pixel side = 8x the latent threshold) the
+        encoder tiles spatially (vae_encode_tiled); same env knob."""
+        import os
+
         with trace_span("vae-encode"):
-            lat = vae_encode(vae_params, self.vae_cfg, x_nhwc, key)
+            tile = int(os.environ.get("DIFFUSION_RS_TPU_VAE_TILE", "128"))
+            f = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
+            if tile > 0 and max(x_nhwc.shape[1:3]) > self._TILE_DECODE_ABOVE * f:
+                lat = vae_encode_tiled(
+                    vae_params, self.vae_cfg, x_nhwc, key, tile=tile * f
+                )
+            else:
+                lat = vae_encode(vae_params, self.vae_cfg, x_nhwc, key)
             z = (lat - self.vae_cfg.shift_factor) * self.vae_cfg.scaling_factor
             return z.transpose(0, 3, 1, 2)  # NCHW [B, 16, h, w]
 

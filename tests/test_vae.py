@@ -159,3 +159,47 @@ def test_vae_tiled_uneven_edges():
     out = np.asarray(vae_decode_tiled(params, cfg, z, tile=16, overlap=4))
     assert out.shape == (1, 44, 60, 3)
     assert np.isfinite(out).all()
+
+
+def test_vae_tiled_encode():
+    """Tiled encode mirrors tiled decode (VERDICT r3 missing #5): trivial
+    path is bit-exact vs one-shot; tiled path preserves the latent shape and
+    stays within per-tile-GroupNorm drift. Sampling (key) matches the
+    one-shot RNG semantics because the moments are blended pre-sample."""
+    from diffusion_rs_tpu.models.vae import vae_encode, vae_encode_tiled
+
+    cfg = VAEConfig(block_out_channels=(32, 32), norm_num_groups=8,
+                    latent_channels=16)
+    params = init_vae_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 48, 48, 3)) * 0.5
+
+    full = np.asarray(vae_encode(params, cfg, x))
+    trivial = np.asarray(vae_encode_tiled(params, cfg, x, tile=64, overlap=8))
+    np.testing.assert_array_equal(full, trivial)
+
+    tiled = np.asarray(vae_encode_tiled(params, cfg, x, tile=32, overlap=8))
+    assert tiled.shape == full.shape  # stride 2 for a 2-stage encoder
+    assert np.isfinite(tiled).all()
+    d = np.abs(full - tiled)
+    assert d.mean() < 0.5 * full.std(), (d.mean(), full.std())
+
+    # sampled path: same key through one-shot and tiled must agree on the
+    # trivial tiling (identical moments -> identical sample)
+    key = jax.random.PRNGKey(9)
+    s_full = np.asarray(vae_encode(params, cfg, x, key))
+    s_triv = np.asarray(vae_encode_tiled(params, cfg, x, key, tile=64, overlap=8))
+    np.testing.assert_array_equal(s_full, s_triv)
+
+
+def test_vae_tiled_encode_uneven_edges():
+    """Pixel size not divisible by the stride: edge tiles are smaller; the
+    latent still stitches to exactly ceil-free H/f x W/f."""
+    from diffusion_rs_tpu.models.vae import vae_encode_tiled
+
+    cfg = VAEConfig(block_out_channels=(32, 32), norm_num_groups=8,
+                    latent_channels=16)
+    params = init_vae_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 44, 60, 3)) * 0.5
+    out = np.asarray(vae_encode_tiled(params, cfg, x, tile=32, overlap=8))
+    assert out.shape == (1, 22, 30, 16)
+    assert np.isfinite(out).all()
