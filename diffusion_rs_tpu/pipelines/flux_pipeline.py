@@ -444,6 +444,24 @@ class FluxPipeline:
         if self.streamed is not None:
             latent = self._denoise_streamed(txt, y, sigmas, guidance, noise)
         else:
+            # Static capacity accounting BEFORE tracing (util/capacity.py):
+            # certain-OOM (weights alone > HBM) raises with a routing
+            # message; estimated overflow warns once.
+            from ..util.capacity import check_denoise_capacity
+            from ..util.tracing import warn_once
+
+            h2 = (params.height + 15) // 16
+            w2 = (params.width + 15) // 16
+            tp = self.mesh.shape.get("tp", 1) if self.mesh is not None else 1
+            msg = check_denoise_capacity(
+                self.flux_params,
+                batch=len(prompts), img_tokens=h2 * w2,
+                txt_tokens=txt.shape[1], hidden=self.flux_cfg.hidden_size,
+                tp=tp,
+            )
+            if msg:
+                warn_once(f"capacity-{params.height}x{params.width}-"
+                          f"{len(prompts)}", msg)
             latent = self._denoise_jit(
                 self._component("flux", self.flux_params),
                 txt, y, sigmas, guidance, noise, inpaint,

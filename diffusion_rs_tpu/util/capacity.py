@@ -1,0 +1,121 @@
+"""Static HBM capacity accounting (VERDICT r3 next #3).
+
+The exec-format crossover work made capacity a real dispatch input: q8t
+FLUX weights (~12 GB packed) fit a 16 GB chip at 1024² but NOT alongside the
+16k-token activations of a 2048² denoise — and before this module the only
+place that knowledge lived was BENCH.md. Here the library accounts for it
+statically, BEFORE tracing, so the user gets a routed error ("shard over a
+tp mesh / use nf4 / offload encoders") instead of a Mosaic OOM mid-compile.
+
+The reference's analogue is the factory's per-checkpoint format dispatch
+(diffusion_rs_backend/src/lib.rs:197-217) — format/capacity choice is the
+library's job; the TPU build extends it to per-chip HBM budgeting.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from ..quant.qtensor import QuantizedTensor
+
+_DEFAULT_HBM = 16 * 1024**3  # v5e; v4 32 GiB, v5p 95 GiB — env override
+
+
+def per_chip_hbm_bytes() -> int:
+    """Per-device HBM budget: live device stats when the backend exposes
+    them, else DIFFUSION_RS_TPU_HBM_BYTES, else the v5e 16 GiB default."""
+    env = os.environ.get("DIFFUSION_RS_TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 — stats are best-effort (axon relay)
+        pass
+    return _DEFAULT_HBM
+
+
+def tree_device_bytes(params) -> int:
+    """Total device bytes of a param tree: dense leaves report nbytes;
+    QuantizedTensor leaves report their PACKED residency (packed + scale +
+    bias + codebook — what actually sits in HBM with the fused kernels)."""
+    total = 0
+
+    def leaf_bytes(x) -> int:
+        if isinstance(x, QuantizedTensor):
+            b = x.packed.size * x.packed.dtype.itemsize
+            b += x.scale.size * 4
+            if x.bias is not None:
+                b += x.bias.size * 4
+            if x.codebook is not None:
+                b += x.codebook.size * 4
+            return b
+        if hasattr(x, "nbytes"):
+            return int(x.nbytes)
+        return 0
+
+    for leaf in jax.tree.leaves(
+        params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+    ):
+        total += leaf_bytes(leaf)
+    return total
+
+
+def estimate_denoise_activation_bytes(
+    batch: int, img_tokens: int, txt_tokens: int, hidden: int,
+    dtype_bytes: int = 2,
+) -> int:
+    """Rough peak activation residency of one jitted denoise step.
+
+    XLA's scan keeps ~O(tens) of [B, S, H]-sized live planes (block
+    residuals, qkv, MLP intermediate at 4x, softmax stats); the constant 48
+    was calibrated against measured fits on v5e: 1024² b1 (5120 tokens,
+    ~1.4 GB est) fits beside 12 GB q8t weights, 2048² b1 (16.9k tokens,
+    ~4.8 GB est) does not, batch-8 1024² (~11 GB est) needs the encoders
+    offloaded — all matching observed behavior (BENCH.md r3)."""
+    s = img_tokens + txt_tokens
+    return batch * s * hidden * dtype_bytes * 48
+
+
+def check_denoise_capacity(
+    flux_params,
+    *,
+    batch: int,
+    img_tokens: int,
+    txt_tokens: int,
+    hidden: int,
+    tp: int = 1,
+    what: str = "denoise",
+) -> Optional[str]:
+    """Static pre-trace capacity check. Returns a warning string when the
+    estimate is over budget (caller logs once), raises ValueError when the
+    WEIGHTS ALONE cannot fit — that failure is certain, not an estimate.
+
+    ``tp``: tensor-parallel degree — 2D weight planes shard K or N over it,
+    so per-chip weight residency divides by tp (mesh loading path)."""
+    hbm = per_chip_hbm_bytes()
+    w = tree_device_bytes(flux_params) // max(1, tp)
+    act = estimate_denoise_activation_bytes(batch, img_tokens, txt_tokens, hidden)
+    if w >= hbm:
+        raise ValueError(
+            f"{what}: packed transformer weights alone are "
+            f"{w / 1e9:.1f} GB per chip vs {hbm / 1e9:.1f} GB HBM — cannot "
+            "fit on a single device. Route: load with a tensor-parallel "
+            "mesh (Pipeline(mesh=make_mesh(tp=...)) shards the planes), "
+            "pick a smaller exec format (isq='nf4' halves q8t residency), "
+            "or stream weights from host RAM (Offloading.Stream)."
+        )
+    if w + act > hbm:
+        return (
+            f"{what}: estimated residency {w / 1e9:.1f} GB weights"
+            + (f" (tp={tp})" if tp > 1 else "")
+            + f" + ~{act / 1e9:.1f} GB activations exceeds "
+            f"{hbm / 1e9:.1f} GB HBM — likely OOM. Routes: tp mesh "
+            "(weights / tp), sp mesh (activations / sp via ring "
+            "attention), isq='nf4', or smaller batch."
+        )
+    return None

@@ -10,9 +10,26 @@ DIFFUSION_RS_TPU_TRACE_DIR.
 from __future__ import annotations
 
 import contextlib
+import logging
 import os
 
 import jax
+
+logger = logging.getLogger("diffusion_rs_tpu")
+_warned: set = set()
+
+
+def warn_once(key: str, msg: str) -> None:
+    """Log a WARNING the first time ``key`` fires (per process).
+
+    Used for silent-performance-fallback telemetry (VERDICT r3 next #9):
+    kernel paths that quietly degrade — ring attention replicating the
+    sequence, quantized matmul routing to the XLA dequant path, VMEM-plan
+    rejections — say so once at trace time instead of never."""
+    if key in _warned:
+        return
+    _warned.add(key)
+    logger.warning(msg)
 
 
 def trace_span(name: str):

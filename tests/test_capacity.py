@@ -1,0 +1,102 @@
+"""Static capacity accounting + q8t exec-path auto-dispatch (VERDICT r3 #3)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from diffusion_rs_tpu.quant.qtensor import quantize_q8_tile
+from diffusion_rs_tpu.util.capacity import (
+    check_denoise_capacity,
+    estimate_denoise_activation_bytes,
+    tree_device_bytes,
+)
+
+
+def _qtree(k=256, n=256):
+    w = np.random.default_rng(0).standard_normal((k, n)).astype(np.float32)
+    return {"a": quantize_q8_tile(w), "b": jnp.zeros((n,), jnp.bfloat16)}
+
+
+def test_tree_device_bytes_counts_packed_residency():
+    k, n = 256, 256
+    t = _qtree(k, n)
+    got = tree_device_bytes(t)
+    want = k * n * 1 + (k // 256) * n * 4 + n * 2  # packed i8 + scale f32 + bias bf16
+    assert got == want, (got, want)
+
+
+def test_capacity_raises_when_weights_alone_exceed_hbm(monkeypatch):
+    monkeypatch.setenv("DIFFUSION_RS_TPU_HBM_BYTES", "1000")  # 1 KB chip
+    with pytest.raises(ValueError, match="tensor-parallel mesh"):
+        check_denoise_capacity(
+            _qtree(), batch=1, img_tokens=4096, txt_tokens=512, hidden=3072
+        )
+
+
+def test_capacity_warns_on_activation_overflow(monkeypatch):
+    t = _qtree()
+    w = tree_device_bytes(t)
+    act = estimate_denoise_activation_bytes(1, 4096, 512, 3072)
+    monkeypatch.setenv("DIFFUSION_RS_TPU_HBM_BYTES", str(w + act // 2))
+    msg = check_denoise_capacity(
+        t, batch=1, img_tokens=4096, txt_tokens=512, hidden=3072
+    )
+    assert msg is not None and "sp mesh" in msg
+
+
+def test_capacity_tp_divides_weights(monkeypatch):
+    t = _qtree()
+    w = tree_device_bytes(t)
+    act = estimate_denoise_activation_bytes(1, 64, 16, 64)
+    # budget that fails at tp=1 but passes at tp=4
+    monkeypatch.setenv("DIFFUSION_RS_TPU_HBM_BYTES", str(w // 2 + act + 1))
+    assert check_denoise_capacity(
+        t, batch=1, img_tokens=64, txt_tokens=16, hidden=64, tp=4
+    ) is None
+    assert check_denoise_capacity(
+        t, batch=1, img_tokens=64, txt_tokens=16, hidden=64, tp=1
+    ) is not None
+
+
+def test_q8t_s8_path_auto_dispatch(monkeypatch):
+    """quantized_matmul picks the s8 MXU path for small M and the bf16
+    dequant path past the measured crossover — per shape, at trace time."""
+    from diffusion_rs_tpu.ops import qmatmul_pallas as qp
+    from diffusion_rs_tpu.ops import partitioned
+
+    monkeypatch.setenv("DIFFUSION_RS_TPU_Q8T_S8_MAX_M", "64")
+    qp._s8_m_crossover.cache_clear()
+    seen = []
+    real = partitioned.make_partitioned_qmm
+
+    def spy(*args, **kw):
+        # signature: (bits, group, split, kn, out_dtype, interpret, bm_cap,
+        #             bn_cap, has_bias, has_cb, s8_act, fast16)
+        seen.append(args[10] if len(args) > 10 else kw.get("s8_act"))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(partitioned, "make_partitioned_qmm", spy)
+    try:
+        k, n = 256, 256
+        w = np.random.default_rng(1).standard_normal((k, n)).astype(np.float32)
+        qt = quantize_q8_tile(w)
+        x_small = jnp.asarray(
+            np.random.default_rng(2).standard_normal((16, k)), jnp.bfloat16
+        )
+        x_big = jnp.asarray(
+            np.random.default_rng(3).standard_normal((128, k)), jnp.bfloat16
+        )
+        y_small = qp.quantized_matmul(x_small, qt, interpret=True)
+        y_big = qp.quantized_matmul(x_big, qt, interpret=True)
+        assert seen == [True, False], seen
+        # both paths stay numerically close to the dense reference
+        from diffusion_rs_tpu.quant.qtensor import dequantize
+
+        wd = dequantize(qt, jnp.bfloat16)
+        for x, y in ((x_small, y_small), (x_big, y_big)):
+            ref = np.asarray(jnp.matmul(x, wd, preferred_element_type=jnp.float32))
+            got = np.asarray(y, np.float32)
+            rel = np.abs(got - ref).sum() / (np.abs(ref).sum() or 1.0)
+            assert rel < 2e-2, rel  # reference quantized-matmul budget
+    finally:
+        qp._s8_m_crossover.cache_clear()

@@ -102,7 +102,7 @@ def bench_qmm(args):
                 bits=q.bits, group=q.group, split=q.split,
                 kn=q.shape, out_dtype=jnp.dtype(jnp.bfloat16),
                 interpret=False, bm_cap=bm_cap_, bn_cap=bn_cap_,
-                s8_act=(args.kind == "q8t"),
+                s8_act=(args.kind == "q8t" and args.s8 != "off"),
                 fast16=fast16,
             )
 
@@ -195,6 +195,9 @@ def main():
     ap.add_argument("--k", type=int, default=3072)
     ap.add_argument("--n", type=int, default=3072)
     ap.add_argument("--kind", choices=["nf4", "q4_0", "q8_0", "q8t"], default="nf4")
+    ap.add_argument("--s8", choices=["auto", "off"], default="auto",
+                    help="q8t: force the bf16 dequant path with off "
+                         "(M-crossover measurement)")
     ap.add_argument("--bm", type=int, default=1536)
     ap.add_argument("--bn", type=int, default=512)
     ap.add_argument("--b", type=int, default=1)

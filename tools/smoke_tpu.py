@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""One-command TPU kernel re-certification (VERDICT r3 next #8).
+
+Compiles and runs the Pallas kernel matrix on the live chip, checks
+numerics against the XLA references, and compares throughput against the
+BENCH.md recorded rates. Run on any bench host after a kernel change:
+
+    python tools/smoke_tpu.py            # full matrix, ~2-4 min warm cache
+    python tools/smoke_tpu.py --quick    # numerics only (no perf gates)
+
+Exit 0 = every kernel compiled, matched numerics, and hit >= (1 - slack)
+of its recorded TFLOP/s (default slack 15% — chip-day variance measured
+<2%, so a miss means a real regression).
+
+All Pallas-kernel CI is interpret-mode (no Mosaic); this is the tool that
+closes the gap on real hardware in one command.
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import sys
+import time
+
+import numpy as np
+
+# BENCH.md recorded rates (v5e, tools/kernel_bench.py methodology).
+REFERENCE_TFLOPS = {
+    "qmm-nf4-4608x3072x3072": 102.0,
+    "qmm-q8t-4608x3072x3072": 150.0,
+    "qmm-q8t-mlp-4608x3072x12288": 255.0,
+    "flash-bf16-1x24x4608x128": 76.0,
+    "flash-s8-1x24x4608x128": 72.0,  # r4: ~parity with bf16 (K=128 bound)
+}
+
+
+def _timeit(fn, *args, iters=10, warmup=3):
+    # scalar D2H forces completion through the axon HTTP relay
+    for _ in range(warmup):
+        float(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+class Result:
+    def __init__(self):
+        self.rows = []
+        self.ok = True
+
+    def add(self, name, passed, detail):
+        self.rows.append((name, passed, detail))
+        self.ok &= passed
+        print(f"  {'PASS' if passed else 'FAIL'} {name}: {detail}")
+
+
+def smoke_qmm(res: Result, kind: str, m: int, k: int, n: int, quick: bool,
+              slack: float):
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_rs_tpu.ops.qmatmul_pallas import quantized_matmul
+    from diffusion_rs_tpu.quant import bnb
+    from diffusion_rs_tpu.quant.qtensor import dequantize, quantize_q8_tile
+
+    name = f"qmm-{kind}-{m}x{k}x{n}"
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((k, n)) * 0.02).astype(np.float32)
+    qt = (bnb.quantize_nf4(np.ascontiguousarray(w.T), blocksize=64)
+          if kind == "nf4" else quantize_q8_tile(w))
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+
+    # numerics vs the XLA dequant reference
+    got = np.asarray(quantized_matmul(x, qt, out_dtype=jnp.float32))
+    want = np.asarray(
+        jnp.matmul(x, dequantize(qt, jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    )
+    denom = np.abs(want).sum() or 1.0
+    rel = np.abs(got - want).sum() / denom
+    tol = 5e-3 if kind == "q8t" else 1e-6  # s8 activations quantize; nf4 exact
+    if rel > tol:
+        res.add(name, False, f"numerics rel err {rel:.2e} > {tol}")
+        return
+    if quick:
+        res.add(name, True, f"numerics rel err {rel:.2e}")
+        return
+
+    reps = 50
+
+    @jax.jit
+    def f(x):
+        y = x
+        for _ in range(reps):
+            y = quantized_matmul(y, qt) if k == n else quantized_matmul(y, qt)
+        return y.sum()
+
+    if k != n:  # chain with a back-projection so shapes compose
+        w2 = (rng.standard_normal((n, k)) * 0.02).astype(np.float32)
+        qt2 = (bnb.quantize_nf4(np.ascontiguousarray(w2.T), blocksize=64)
+               if kind == "nf4" else quantize_q8_tile(w2))
+
+        @jax.jit
+        def f(x):
+            y = x
+            for _ in range(reps):
+                y = quantized_matmul(quantized_matmul(y, qt), qt2)
+            return y.sum()
+
+        flops = 2.0 * 2.0 * m * k * n
+    else:
+        flops = 2.0 * m * k * n
+    t = _timeit(f, x, iters=5) / reps
+    tf = flops / t / 1e12
+    ref = REFERENCE_TFLOPS.get(name)
+    passed = ref is None or tf >= ref * (1 - slack)
+    res.add(name, passed,
+            f"{tf:.1f} TFLOP/s (ref {ref}, floor {ref * (1 - slack):.0f})"
+            if ref else f"{tf:.1f} TFLOP/s (no reference)")
+
+
+def smoke_flash(res: Result, s8: bool, b: int, h: int, s: int, d: int,
+                quick: bool, slack: float, lse: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_rs_tpu.ops.attention import sdpa_xla
+    from diffusion_rs_tpu.ops.flash_pallas import _flash_call, flash_attention
+
+    name = f"flash-{'s8' if s8 else 'bf16'}-{b}x{h}x{s}x{d}" + (
+        "-lse" if lse else ""
+    )
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.3, jnp.bfloat16)
+        for _ in range(3)
+    )
+    if lse:
+        out, lse_v = _flash_call(q, k, v, float(d) ** -0.5, 512, 1536, False,
+                                 save_lse=True, s8=s8)
+        finite = bool(np.isfinite(np.asarray(lse_v)).all())
+        res.add(name, finite, "lse finite" if finite else "lse has non-finite")
+        return
+    got = np.asarray(flash_attention(q, k, v, s8=s8), np.float32)
+    want = np.asarray(sdpa_xla(q, k, v), np.float32)
+    denom = np.abs(want).sum() or 1.0
+    rel = np.abs(got - want).sum() / denom
+    tol = 8e-3 if s8 else 3e-3  # bf16 rounding; s8 adds QK^T quantization
+    if rel > tol:
+        res.add(name, False, f"numerics rel err {rel:.2e} > {tol}")
+        return
+    if quick:
+        res.add(name, True, f"numerics rel err {rel:.2e}")
+        return
+
+    reps = 20
+
+    @jax.jit
+    def f(q, k, v):
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(reps):
+            o = flash_attention(q + acc.astype(q.dtype) * 0, k, v, s8=s8)
+            acc = acc + o.astype(jnp.float32).sum()  # serialize reps
+        return acc
+
+    t = _timeit(f, q, k, v, iters=5) / reps
+    flops = 4.0 * b * h * s * s * d  # QK^T + PV
+    tf = flops / t / 1e12
+    ref = REFERENCE_TFLOPS.get(name)
+    passed = ref is None or tf >= ref * (1 - slack)
+    res.add(name, passed,
+            f"{tf:.1f} TFLOP/s (ref {ref}, floor {ref * (1 - slack):.0f})"
+            if ref else f"{tf:.1f} TFLOP/s (no reference)")
+
+
+def smoke_tiled_decode(res: Result):
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_rs_tpu.models.vae import (
+        VAEConfig, init_vae_params, vae_decode_tiled,
+    )
+
+    cfg = VAEConfig(block_out_channels=(32, 32), norm_num_groups=8,
+                    latent_channels=16)
+    params = init_vae_params(jax.random.PRNGKey(3), cfg, jnp.bfloat16)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 24, 24, 16), jnp.bfloat16)
+    out = np.asarray(vae_decode_tiled(params, cfg, z, tile=16, overlap=4))
+    ok = out.shape == (1, 48, 48, 3) and np.isfinite(out).all()
+    res.add("vae-tiled-decode", bool(ok), f"shape {out.shape}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="numerics only")
+    ap.add_argument("--slack", type=float, default=0.15,
+                    help="allowed fractional TFLOP/s shortfall vs BENCH.md")
+    args = ap.parse_args()
+
+    import jax
+
+    backend = jax.default_backend()
+    print(f"[smoke_tpu] backend={backend} devices={jax.devices()}")
+    if backend == "cpu":
+        print("[smoke_tpu] WARNING: no TPU visible — Mosaic will not lower; "
+              "this run only exercises interpret-free compile on CPU and "
+              "will likely fail. Run on a TPU host.")
+
+    res = Result()
+    print("[smoke_tpu] fused dequant-matmul kernels")
+    smoke_qmm(res, "nf4", 4608, 3072, 3072, args.quick, args.slack)
+    smoke_qmm(res, "q8t", 4608, 3072, 3072, args.quick, args.slack)
+    if not args.quick:
+        smoke_qmm(res, "q8t-mlp", 4608, 3072, 12288, args.quick, args.slack)
+    print("[smoke_tpu] flash attention kernels")
+    smoke_flash(res, False, 1, 24, 4608, 128, args.quick, args.slack)
+    smoke_flash(res, True, 1, 24, 4608, 128, args.quick, args.slack)
+    smoke_flash(res, False, 1, 24, 4608, 128, True, args.slack, lse=True)
+    print("[smoke_tpu] tiled decode")
+    smoke_tiled_decode(res)
+
+    n_pass = sum(1 for _, p, _ in res.rows if p)
+    print(f"[smoke_tpu] {'PASS' if res.ok else 'FAIL'} "
+          f"({n_pass}/{len(res.rows)})")
+    return 0 if res.ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
