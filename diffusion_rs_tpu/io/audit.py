@@ -46,7 +46,7 @@ def expected_flux_keys(cfg) -> Dict[str, Shape]:
     """
     H = cfg.hidden_size
     D = H // cfg.num_attention_heads
-    mlp = 4 * H
+    mlp = int(getattr(cfg, "mlp_size", 4 * H))
     inv: Dict[str, Shape] = {}
 
     def lin(p: str, out: int, in_: int):
@@ -103,7 +103,7 @@ def expected_flux_keys_bfl(cfg) -> Dict[str, Shape]:
     _build_flux_params_bfl consumes (io/builders.py)."""
     H = cfg.hidden_size
     D = H // cfg.num_attention_heads
-    mlp = 4 * H
+    mlp = int(getattr(cfg, "mlp_size", 4 * H))
     inv: Dict[str, Shape] = {}
 
     def lin(p: str, out: int, in_: int):

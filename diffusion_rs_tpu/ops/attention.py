@@ -72,6 +72,37 @@ def _flash_mode() -> Optional[str]:
     return "flash" if jax.default_backend() not in ("cpu",) else None
 
 
+@functools.lru_cache(None)
+def _s8_default() -> bool:
+    """Whether the flash kernel quantizes QK^T to s8 x s8 (per-row q scales,
+    per-tile mean-centered k scale — ops/flash_pallas.py). The default is
+    the measured-best setting per BENCH.md round 4 (adopt-or-reject A/B on
+    the q8t north-star step); DIFFUSION_RS_TPU_ATTN_S8=0/1 overrides."""
+    env = os.environ.get("DIFFUSION_RS_TPU_ATTN_S8", "").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "force", "true"):
+        return True
+    return _S8_MEASURED_DEFAULT
+
+
+# Set from the round-4 on-chip A/B (BENCH.md r4): kernel-level the s8 QK^T is
+# ~parity (K=head_dim=128 is pipeline-latency-bound, so int8's 2x MXU peak
+# doesn't bite), and the _quantize_k prepass adds step time — the bf16 kernel
+# stays the default; s8 remains available (DIFFUSION_RS_TPU_ATTN_S8=1) for
+# shapes where QK^T is MAC-bound (longer head dims / kv lengths).
+_S8_MEASURED_DEFAULT = False
+
+
+@functools.lru_cache(None)
+def _merged_default() -> bool:
+    """Whether sdpa_merged uses the kernel's seq-major output write
+    (out_seqmajor) instead of bhsd + transpose. DIFFUSION_RS_TPU_ATTN_MERGED=0
+    restores the round-3 transpose path (A/B ablation knob)."""
+    env = os.environ.get("DIFFUSION_RS_TPU_ATTN_MERGED", "").lower()
+    return env not in ("0", "off", "false")
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -80,19 +111,60 @@ def sdpa(
     bias: Optional[jnp.ndarray] = None,
     softcap: Optional[float] = None,
     impl: Optional[str] = None,
+    s8: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Dispatching SDPA. ``impl`` in {None (auto), "flash", "interpret",
-    "xla"}."""
+    "xla"}; ``s8`` (None = env default) quantizes QK^T to int8 in-kernel."""
     if impl is None:
         mode = _flash_mode()
         impl = mode if (mode and bias is None and softcap is None) else "xla"
     if impl in ("flash", "interpret"):
         from .flash_pallas import flash_attention
 
+        if s8 is None:
+            s8 = _s8_default()
         try:
             return flash_attention(
-                q, k, v, scale=scale, interpret=(impl == "interpret")
+                q, k, v, scale=scale, interpret=(impl == "interpret"), s8=s8
             )
         except NotImplementedError:
             pass
     return sdpa_xla(q, k, v, scale=scale, bias=bias, softcap=softcap)
+
+
+def sdpa_merged(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+    s8: Optional[bool] = None,
+) -> jnp.ndarray:
+    """SDPA returning the head-MERGED layout: [B, H, S, D] -> [B, S, H*D].
+
+    On the flash path the kernel writes each head's output block straight
+    into its column slice of [B, S, H*D] (out_seqmajor), removing the
+    transpose+reshape that followed attention in every FLUX block — profiled
+    at 15.1% of the q8t step as "data formatting" (BENCH.md r3). The XLA
+    fallback keeps the explicit transpose (CPU tests / bias paths).
+    """
+    if impl is None:
+        impl = _flash_mode() or "xla"
+    if impl in ("flash", "interpret"):
+        from .flash_pallas import flash_attention
+
+        if s8 is None:
+            s8 = _s8_default()
+        if _merged_default():
+            try:
+                return flash_attention(
+                    q, k, v, scale=scale, interpret=(impl == "interpret"),
+                    s8=s8, out_seqmajor=True,
+                )
+            except NotImplementedError:
+                pass
+        x = sdpa(q, k, v, scale=scale, impl=impl, s8=s8)
+    else:
+        x = sdpa_xla(q, k, v, scale=scale)
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)

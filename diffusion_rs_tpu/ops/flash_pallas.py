@@ -47,8 +47,10 @@ _ABLATE = _os.environ.get("DIFFUSION_RS_TPU_FLASH_ABLATE", "")
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
-    *, scale: float, kv_len: int, block_k: int
+    q_ref, k_ref, v_ref, sk_ref, o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch, qq_scratch=None, sq_scratch=None,
+    *, scale: float, kv_len: int, block_k: int, s8: bool = False,
+    seq_out: bool = False
 ):
     kv_i = pl.program_id(3)
     n_kv = pl.num_programs(3)
@@ -61,9 +63,43 @@ def _flash_kernel(
 
     q = q_ref[0, 0]  # [bq, d]
     k = k_ref[0, 0]  # [bk, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk] f32
+    if s8:
+        # s8 x s8 QK^T on the MXU (2x the bf16 MXU rate on v5e — the same
+        # int8 precedent as the q8t matmul format, ops/qmatmul_pallas.py).
+        # k arrives ALREADY int8 from the XLA prepass (_quantize_k): centered
+        # by the global per-(b,h) k mean — softmax_j(q_i . k_j) is exactly
+        # invariant under k_j -> k_j - km, so centering costs nothing and
+        # removes the common-mode component from the int8 grid (the
+        # SageAttention "smooth k" observation, arXiv:2410.02367) — with ONE
+        # scalar scale per kv tile (sk_ref, SMEM). Keeping the quantize out
+        # of the kernel matters: an in-kernel per-tile quantize re-ran per
+        # q-tile and its VPU cost made the kernel SLOWER than bf16 (70 vs 81
+        # TFLOP/s measured); the prepass also halves the k DMA stream.
+        # q is quantized in-kernel, once per q tile (amortized over the kv
+        # axis), with per-row scales that broadcast along s rows for free.
+        @pl.when(kv_i == 0)
+        def _quantize_q():
+            qf = q.astype(jnp.float32)
+            aq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)  # [bq, 1]
+            sq = jnp.where(aq == 0.0, 1.0, aq / 127.0)
+            qq_scratch[...] = jnp.round(qf / sq).astype(jnp.int8)
+            sq_scratch[...] = jnp.broadcast_to(sq, sq_scratch.shape)
+
+        s_i = jax.lax.dot_general(
+            qq_scratch[...], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # sk is the WHOLE [b, h, n_tiles] scale array in SMEM (tiny), indexed
+        # by grid position — per-block SMEM slices trip Mosaic's block-shape
+        # divisibility rules.
+        sk = sk_ref[pl.program_id(0), pl.program_id(1), kv_i]
+        s = s_i.astype(jnp.float32) * (
+            sq_scratch[...][:, :1] * (sk * scale)
+        )
+    else:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bk] f32
 
     # Mask ragged kv tail (static shapes; only the last tile pays the select).
     if kv_len % block_k != 0:
@@ -105,9 +141,16 @@ def _flash_kernel(
         l = l_scratch[...][:, :1]
         # Padded q rows can have l == 0; keep them finite (sliced off later).
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scratch[...] * pl.reciprocal(
+        o = (acc_scratch[...] * pl.reciprocal(
             l_safe, approx=False
         )).astype(o_ref.dtype)
+        if seq_out:
+            # output block is a per-head column slice of [B, S, H*D] — the
+            # head-merge transpose after attention disappears (VERDICT r3
+            # next #2: write the output seq-major, keep inputs [B,H,S,D]).
+            o_ref[0] = o
+        else:
+            o_ref[0, 0] = o
         if lse_ref is not None:
             # log-sum-exp per q row (lane-replicated, [bq, 128]) — the
             # residual ring attention needs to merge per-chunk outputs.
@@ -118,57 +161,122 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _quantize_k(k, block_k: int):
+    """XLA prepass for the s8 kernel: center k by its global per-(b,h) mean
+    (exact — softmax over kv is invariant to any constant shift of all k
+    rows) and symmetric-int8 quantize with ONE scalar scale per kv tile.
+    Returns kq [b,h,skv_p,d] int8 (tile-padded with zeros) and
+    sk [b,h,n_tiles] f32. XLA fuses this into ~2 passes over k; the kernel
+    then streams HALF the k bytes and does no quantize work per tile."""
+    b, h, skv, d = k.shape
+    kf = k.astype(jnp.float32)
+    kc = kf - jnp.mean(kf, axis=2, keepdims=True)
+    skv_p = _round_up(skv, block_k)
+    if skv_p != skv:
+        kc = jnp.pad(kc, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    n_t = skv_p // block_k
+    kt = kc.reshape(b, h, n_t, block_k, d)
+    ak = jnp.max(jnp.abs(kt), axis=(3, 4))  # [b, h, n_t]
+    sk = jnp.where(ak == 0.0, 1.0, ak / 127.0)
+    kq = jnp.round(kt / sk[..., None, None]).astype(jnp.int8)
+    return kq.reshape(b, h, skv_p, d), sk
+
+
+def _mk_kernel(save_lse: bool, **kw):
+    """Adapt _flash_kernel's full signature to the actual pallas arg list
+    (sk input only when s8; lse output only when save_lse)."""
+    s8 = kw["s8"]
+    if s8 and save_lse:
+        return functools.partial(_flash_kernel, **kw)
+    if s8:
+        def k_(q, k, v, sk, o, *scratch):
+            _flash_kernel(q, k, v, sk, o, None, *scratch, **kw)
+        return k_
+    if save_lse:
+        def k_(q, k, v, o, lse, *scratch):
+            _flash_kernel(q, k, v, None, o, lse, *scratch, **kw)
+        return k_
+
+    def k_(q, k, v, o, *scratch):
+        _flash_kernel(q, k, v, None, o, None, *scratch, **kw)
+    return k_
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "interpret", "save_lse"),
+    static_argnames=("scale", "block_q", "block_k", "interpret", "save_lse",
+                     "s8", "seq_out"),
 )
-def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False):
+def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False,
+                s8=False, seq_out=False):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(skv, block_k)
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
-    if skv_p != skv:
+    sk = None
+    if s8:
+        k, sk = _quantize_k(k, block_k)  # handles its own kv padding
+    elif skv_p != skv:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    if skv_p != skv:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
 
+    if seq_out and save_lse:
+        raise NotImplementedError("seq_out + save_lse unused (ring is bhsd)")
     grid = (b, h, sq_p // block_q, skv_p // block_k)
-    if save_lse:
-        kernel = functools.partial(
-            _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
+    kw = dict(scale=scale, kv_len=skv, block_k=block_k, s8=s8,
+              seq_out=seq_out)
+    if seq_out:
+        o_spec = pl.BlockSpec(
+            (1, block_q, d), lambda b_, h_, qi, ki: (b_, qi, h_)
         )
+        o_shape = jax.ShapeDtypeStruct((b, sq_p, h * d), q.dtype)
+    else:
+        o_spec = pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
+        )
+        o_shape = jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)
+    kernel = _mk_kernel(save_lse, **kw)
+    if save_lse:
         out_specs = [
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+            o_spec,
             pl.BlockSpec((1, 1, block_q, 128), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            o_shape,
             jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
         ]
     else:
-        kernel = functools.partial(
-            _flash_kernel_no_lse, scale=scale, kv_len=skv, block_k=block_k
-        )
-        out_specs = pl.BlockSpec(
-            (1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
-        )
-        out_shape = jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)
+        out_specs = o_spec
+        out_shape = o_shape
+    scratch_shapes = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    if s8:
+        scratch_shapes += [
+            pltpu.VMEM((block_q, d), jnp.int8),     # qq
+            pltpu.VMEM((block_q, 128), jnp.float32),  # sq (lane-replicated)
+        ]
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+    ]
+    args = [q, k, v]
+    if s8:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(sk)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -179,7 +287,7 @@ def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False):
             transcendentals=b * h * sq_p * skv_p,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
     if save_lse:
         out, lse = outs
         if sq_p != sq:
@@ -187,12 +295,10 @@ def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False):
         return out, lse[..., 0]  # lanes are replicated
     out = outs
     if sq_p != sq:
-        out = out[:, :, :sq, :]
+        out = out[:, :sq, :] if seq_out else out[:, :, :sq, :]
     return out
 
 
-def _flash_kernel_no_lse(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, **kw):
-    _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, **kw)
 
 
 def _flash_rope_kernel(
@@ -488,8 +594,18 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    s8: bool = False,
+    out_seqmajor: bool = False,
 ) -> jnp.ndarray:
-    """q, k, v: [B, H, S, D] -> [B, H, Sq, D].
+    """q, k, v: [B, H, S, D] -> [B, H, Sq, D] (or [B, Sq, H*D] with
+    ``out_seqmajor`` — the kernel writes each head's output block straight
+    into its column slice, so the head-merge transpose before the o-proj
+    disappears).
+
+    ``s8`` runs QK^T as s8 x s8 on the MXU (per-row q scales, per-tile
+    smoothed k scale — see _flash_kernel); softmax state and P.V stay
+    f32/bf16. Exactness: ~1e-3 relative on outputs at FLUX magnitudes
+    (tests/test_ops.py parity band), vs 2x MXU rate on the QK^T half.
 
     Any head_dim is accepted: D is zero-padded up to the next lane multiple
     (128) before the kernel — exact for attention (zero Q/K columns add 0 to
@@ -502,6 +618,10 @@ def flash_attention(
         scale = 1.0 / (d ** 0.5)  # scale from the TRUE head dim, pre-pad
     d_p = _round_up(d, 128)
     if d_p != d:
+        if out_seqmajor:
+            # padded D columns would interleave into the merged [B,S,H*D]
+            # output; callers with odd head dims use the bhsd layout.
+            raise NotImplementedError("out_seqmajor needs head_dim % 128 == 0")
         pad = ((0, 0), (0, 0), (0, 0), (0, d_p - d))
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
@@ -514,6 +634,7 @@ def flash_attention(
     # plain kernel call.
     from .partitioned import make_partitioned_flash
 
-    fa = make_partitioned_flash(float(scale), block_q, block_k, interpret)
+    fa = make_partitioned_flash(float(scale), block_q, block_k, interpret,
+                                s8, out_seqmajor)
     out = fa(q, k, v)
     return out[..., :d] if d_p != d else out

@@ -79,16 +79,25 @@ def ring_attention(q, k, v, axis_name, axis_size, scale, block_q, block_k,
 
 @functools.lru_cache(None)
 def make_partitioned_flash(scale: float, block_q: int, block_k: int,
-                           interpret: bool = False):
+                           interpret: bool = False, s8: bool = False,
+                           seq_out: bool = False):
     """Flash attention with a GSPMD rule: batch/head dims shard freely; a
     sequence-sharded q (sp axis) runs RING attention with k/v kept sharded
     (self-attention only: q and kv seq lengths must match and divide the
-    axis). Anything else falls back to seq-replicated per-shard kernels."""
+    axis). Anything else falls back to seq-replicated per-shard kernels.
+
+    ``seq_out``: result is [B, S, H*D] (kernel writes head column slices);
+    the ring path computes bhsd then merges, preserving the output contract.
+    """
     from .flash_pallas import _flash_call
+
+    def _dense(q, k, v):
+        return _flash_call(q, k, v, scale, block_q, block_k, interpret,
+                           s8=s8, seq_out=seq_out)
 
     @custom_partitioning
     def fa(q, k, v):
-        return _flash_call(q, k, v, scale, block_q, block_k, interpret)
+        return _dense(q, k, v)
 
     def _q_spec(arg_shapes):
         spec = tuple(_spec_of(arg_shapes[0].sharding))
@@ -96,6 +105,8 @@ def make_partitioned_flash(scale: float, block_q: int, block_k: int,
 
     def infer(mesh, arg_shapes, result_shape):
         b_ax, h_ax, s_ax, _ = _q_spec(arg_shapes)
+        if seq_out:
+            return NamedSharding(mesh, P(b_ax, s_ax, h_ax))
         return NamedSharding(mesh, P(b_ax, h_ax, s_ax, None))
 
     def partition(mesh, arg_shapes, result_shape):
@@ -110,26 +121,42 @@ def make_partitioned_flash(scale: float, block_q: int, block_k: int,
         )
         if ring_ok:
             n = mesh.shape[s_ax]
-            sh = NamedSharding(mesh, P(b_ax, h_ax, s_ax, None))
+            in_sh = NamedSharding(mesh, P(b_ax, h_ax, s_ax, None))
+            out_sh = (NamedSharding(mesh, P(b_ax, s_ax, h_ax))
+                      if seq_out else in_sh)
 
             def impl(q, k, v):
-                return ring_attention(
+                o = ring_attention(
                     q, k, v, s_ax, n, scale, block_q, block_k, interpret
                 )
+                if seq_out:
+                    b, h, s_loc, d = o.shape
+                    o = o.transpose(0, 2, 1, 3).reshape(b, s_loc, h * d)
+                return o
 
-            return mesh, impl, sh, (sh, sh, sh)
+            return mesh, impl, out_sh, (in_sh, in_sh, in_sh)
 
-        sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
+        if s_ax is not None:
+            from ..util.tracing import warn_once
 
-        def impl(q, k, v):
-            return _flash_call(q, k, v, scale, block_q, block_k, interpret)
-
-        return mesh, impl, sh, (sh, sh, sh)
+            warn_once(
+                f"flash-seq-replicated-{sq}x{skv}-{s_ax}",
+                f"flash attention: sequence axis sharded over '{s_ax}' but "
+                f"ring attention needs sq == skv ({sq} vs {skv}) divisible "
+                f"by the axis; REPLICATING the sequence per shard — the "
+                "O(S/sp) memory saving of sequence parallelism is lost for "
+                "this call",
+            )
+        in_sh = NamedSharding(mesh, P(b_ax, h_ax, None, None))
+        out_sh = (NamedSharding(mesh, P(b_ax, None, h_ax))
+                  if seq_out else in_sh)
+        return mesh, _dense, out_sh, (in_sh, in_sh, in_sh)
 
     fa.def_partition(
         infer_sharding_from_operands=infer,
         partition=partition,
-        sharding_rule="b h s d, b h t d, b h t d -> b h s d",
+        sharding_rule=("b h s d, b h t d, b h t d -> b s (h d)" if seq_out
+                       else "b h s d, b h t d, b h t d -> b h s d"),
     )
     return fa
 
@@ -214,6 +241,16 @@ def make_partitioned_flash_rope(head_dim: int, scale: float, block_q: int,
 
             return mesh, impl, sh, (sh, sh, sh, tab_sh, tab_sh)
 
+        if s_ax is not None:
+            from ..util.tracing import warn_once
+
+            warn_once(
+                f"flashrope-seq-replicated-{sq}x{skv}-{s_ax}",
+                f"fused-rope flash attention: sequence axis sharded over "
+                f"'{s_ax}' but ring attention needs sq == skv ({sq} vs "
+                f"{skv}) divisible by the axis; REPLICATING the sequence "
+                "per shard — sequence parallelism's memory saving is lost",
+            )
         sh = NamedSharding(mesh, P(b_ax, None, n_ax))
         tab_sh = NamedSharding(mesh, P(b_ax, None, None))
         return mesh, _dense, sh, (sh, sh, sh, tab_sh, tab_sh)

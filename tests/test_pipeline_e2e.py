@@ -549,3 +549,48 @@ def test_inpaint_requires_init(pipe):
     p2 = DiffusionGenerationParams(height=64, width=64, num_steps=2, seed=1)
     with pytest.raises(ValueError, match="mask_image requires init_image"):
         pipe._inner.forward_arrays(["a"], p2, mask_image=np.zeros((64, 64), np.uint8))
+
+
+def test_mesh_tp_q8t_capacity_and_parity(ckpt, monkeypatch, caplog):
+    """The 2048²+q8t story at test scale (VERDICT r3 next #3): q8t exec
+    under a tensor-parallel mesh matches the single-device q8t pipeline
+    e2e, and the static capacity accounting routes correctly — per-chip
+    weight residency divides by tp, so a budget that warns single-device
+    stays silent on the mesh."""
+    import logging
+
+    import jax
+    from diffusion_rs_tpu.parallel import make_mesh
+    from diffusion_rs_tpu.util.capacity import (
+        estimate_denoise_activation_bytes,
+        tree_device_bytes,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    single = Pipeline(ModelSource.from_model_id(str(ckpt)), silent=True,
+                      isq="q8t")
+    mesh = make_mesh(tp=4, devices=jax.devices()[:4])
+    sharded = Pipeline(ModelSource.from_model_id(str(ckpt)), silent=True,
+                       isq="q8t", mesh=mesh)
+    # distinct geometry from other tests so warn_once keys don't collide
+    params = DiffusionGenerationParams(
+        height=80, width=64, num_steps=2, guidance_scale=0.0, seed=11
+    )
+    inner = single._inner
+    w = tree_device_bytes(inner.flux_params)
+    act = estimate_denoise_activation_bytes(
+        1, (80 // 16) * (64 // 16), 256, inner.flux_cfg.hidden_size
+    )
+    # budget passes at tp=4, warns (not raises) at tp=1
+    monkeypatch.setenv("DIFFUSION_RS_TPU_HBM_BYTES", str(w // 2 + act + 1))
+
+    caplog.set_level(logging.WARNING, logger="diffusion_rs_tpu")
+    a = sharded.forward_images(["a photo"], params)  # mesh first: no warning
+    assert not [r for r in caplog.records if "capacity" in str(r.msg)]
+    b = single.forward_images(["a photo"], params)
+    assert [r for r in caplog.records if "exceeds" in str(r.msg)], (
+        "single-device q8t run over the budget must warn with a route"
+    )
+    diff = np.abs(np.asarray(a[0], np.float32) - np.asarray(b[0], np.float32))
+    assert diff.mean() < 1.0 and diff.max() <= 16, (diff.mean(), diff.max())
