@@ -87,7 +87,15 @@ def _maybe_rope_fused(params, cfg):
 
 def _setup_jax():
     import jax
+    import os
     import pathlib
+
+    # A sitecustomize may pin the platform list (e.g. the axon TPU relay);
+    # honor an explicit JAX_PLATFORMS=cpu request (CPU-mesh smoke runs) by
+    # counter-updating after import, like tests/conftest.py does.
+    env_plat = os.environ.get("JAX_PLATFORMS", "")
+    if env_plat and "axon" not in env_plat:
+        jax.config.update("jax_platforms", env_plat)
 
     # Persistent compilation cache: the big scan graph + Mosaic kernels take
     # minutes through the remote-compile path on first build; cache across
@@ -116,6 +124,26 @@ class _WordTokenizer:
             self._Enc([(hash(w) % (self.vocab - 2)) + 1 for w in p.split()])
             for p in prompts
         ]
+
+
+def _parse_mesh(spec):
+    """'dp=2,sp=2,tp=2' -> Mesh (parallel.make_mesh over local devices)."""
+    if not spec:
+        return None
+    from diffusion_rs_tpu.parallel import make_mesh
+
+    axes = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        axes[k.strip()] = int(v)
+    import jax as _jax
+
+    dp, sp = axes.get("dp", 1), axes.get("sp", 1)
+    tp = axes.get("tp")
+    devs = _jax.devices()
+    if tp is not None and dp * sp * tp < len(devs):
+        devs = devs[: dp * sp * tp]  # explicit sizes may use a subset
+    return make_mesh(dp=dp, sp=sp, tp=tp, devices=devs)
 
 
 def bench_image(args, preset) -> int:
@@ -207,6 +235,14 @@ def bench_image(args, preset) -> int:
         clip_params = init_clip_params(ks[2], clip_cfg, dtype)
     vae_params = init_vae_params(ks[3], vae_cfg, dtype)
 
+    mesh = _parse_mesh(getattr(args, "mesh", None))
+    if mesh is not None:
+        from diffusion_rs_tpu.parallel import replicate_params, shard_params
+
+        flux_params = shard_params(flux_params, mesh)
+        t5_params = shard_params(t5_params, mesh)
+        clip_params = replicate_params(clip_params, mesh)
+        vae_params = replicate_params(vae_params, mesh)
     pipe = FluxPipeline(
         flux_params=flux_params, flux_cfg=flux_cfg,
         t5_params=t5_params, t5_cfg=t5_cfg,
@@ -215,7 +251,7 @@ def bench_image(args, preset) -> int:
         scheduler=SchedulerConfig(use_dynamic_shifting=flux_cfg.guidance_embeds),
         t5_tokenizer=_WordTokenizer(t5_cfg.vocab_size),
         clip_tokenizer=_WordTokenizer(clip_cfg.vocab_size),
-        dtype=dtype, offload=offload, silent=True,
+        dtype=dtype, offload=offload, silent=True, mesh=mesh,
     )
     prompts = [f"a photo of test subject {i}" for i in range(b)]
 
@@ -573,6 +609,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--preset", choices=list(PRESETS), default=None,
                     help="BASELINE.md target configs 1-5")
+    ap.add_argument("--mesh", default=None,
+                    help="axis sizes, e.g. 'tp=4' or 'dp=2,sp=2,tp=2' — "
+                         "shards the pipeline over a device mesh (image "
+                         "mode; the dev-2048 q8t config needs tp to fit)")
     args = ap.parse_args()
     preset = PRESETS.get(args.preset)
     if args.impl is None:

@@ -243,8 +243,9 @@ def _s8_m_crossover() -> int:
                _S8_M_CROSSOVER_DEFAULT)
 
 
-# Placeholder pending the r4 on-chip M-sweep; a very large default keeps the
-# r3 behavior (always s8) until the measured value replaces it below.
+# r4 on-chip M-sweep (BENCH.md r4): s8 wins at every measured M, so the
+# default never routes q8t off the int8 path. Kept as a knob because the
+# balance is part-specific (VPU:MXU ratio) — see quantized_matmul.
 _S8_M_CROSSOVER_DEFAULT = 1 << 30
 
 
@@ -385,14 +386,15 @@ def quantized_matmul(
     from .partitioned import make_partitioned_qmm
 
     # "q8t" (per-K-tile scales) runs the s8 x s8 MXU path: the scale group
-    # equals the kernel K-tile so one rescale per tile is exact. The s8 path
-    # is auto-selected per SHAPE (VERDICT r3 next #3 — the crossover lives in
-    # the library, not in docs): M is static at trace time, and past
-    # S8_M_CROSSOVER rows the per-row activation quantize (VPU work scaling
-    # with M) plus the f32 rescale outweigh the int8 MXU gain — measured on
-    # v5e (BENCH.md r4); big-batch callers then run the same q8t weights
-    # through the bf16 dequant-matmul path (weights stay packed in HBM
-    # either way). DIFFUSION_RS_TPU_Q8T_S8_MAX_M overrides.
+    # equals the kernel K-tile so one rescale per tile is exact. Dispatch is
+    # per SHAPE at trace time (VERDICT r3 next #3): the r4 M-sweep on v5e
+    # measured the s8 path FASTER at every M (116/140/156/166 TFLOP/s vs the
+    # bf16-dequant path's 108/133/147/155 at M 4.6k/9.2k/18k/37k, BENCH.md
+    # r4) — there is no kernel-level crossover, so the default never
+    # switches; DIFFUSION_RS_TPU_Q8T_S8_MAX_M remains the per-shape override
+    # for other parts. The r3 batch-8 e2e regression is a q8t-vs-nf4
+    # CAPACITY effect (2x packed bytes + 8x activations on one chip), owned
+    # by util/capacity.py + the bench preset defaults, not by this kernel.
     q8t_ok = (
         qt.kind == "q8t" and qt.bits == 8 and qt.bias is None
         and qt.codebook is None and qt.group == min(256, k)

@@ -230,22 +230,30 @@ class FluxPipeline:
         return self._to_u8_jit(img_out)
 
     def _encode_image(self, vae_params, x_nhwc, key):
-        """Image [-1,1] NHWC -> scaled NCHW latent (img2img init). Past the
-        same HBM limit as decode (pixel side = 8x the latent threshold) the
-        encoder tiles spatially (vae_encode_tiled); same env knob."""
+        """Image [-1,1] NHWC -> scaled NCHW latent (img2img init)."""
+        with trace_span("vae-encode"):
+            lat = vae_encode(vae_params, self.vae_cfg, x_nhwc, key)
+            return self._scale_latent(lat)
+
+    def _scale_latent(self, lat):
+        z = (lat - self.vae_cfg.shift_factor) * self.vae_cfg.scaling_factor
+        return z.transpose(0, 3, 1, 2)  # NCHW [B, 16, h, w]
+
+    def _encode_image_any(self, vae_params, x_nhwc, key):
+        """One-shot jitted encode, or host-tiled past the HBM limit — the
+        img2img mirror of _decode_any (same threshold in latent pixels, same
+        env knob; pixel side = encoder stride x the latent threshold)."""
         import os
 
-        with trace_span("vae-encode"):
-            tile = int(os.environ.get("DIFFUSION_RS_TPU_VAE_TILE", "128"))
-            f = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
-            if tile > 0 and max(x_nhwc.shape[1:3]) > self._TILE_DECODE_ABOVE * f:
-                lat = vae_encode_tiled(
-                    vae_params, self.vae_cfg, x_nhwc, key, tile=tile * f
-                )
-            else:
-                lat = vae_encode(vae_params, self.vae_cfg, x_nhwc, key)
-            z = (lat - self.vae_cfg.shift_factor) * self.vae_cfg.scaling_factor
-            return z.transpose(0, 3, 1, 2)  # NCHW [B, 16, h, w]
+        tile = int(os.environ.get("DIFFUSION_RS_TPU_VAE_TILE", "128"))
+        f = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
+        if tile <= 0 or max(x_nhwc.shape[1:3]) <= self._TILE_DECODE_ABOVE * f:
+            return self._encode_image_jit(vae_params, x_nhwc, key)
+        with trace_span("vae-encode-tiled"):
+            lat = vae_encode_tiled(
+                vae_params, self.vae_cfg, x_nhwc, key, tile=tile * f
+            )
+            return self._scale_latent(lat)
 
     def _denoise_streamed(self, txt, y, sigmas, guidance, noise):
         """Per-block weight-streaming denoise (Offloading.Stream): weights
@@ -415,7 +423,7 @@ class FluxPipeline:
             sigmas = sigmas[params.num_steps - steps_run:]
             vae_params_enc = self._component("vae", self.vae_params)
             x = self._prepare_image_batch(init_image, len(prompts), params)
-            lat = self._encode_image_jit(
+            lat = self._encode_image_any(
                 vae_params_enc, x, jax.random.fold_in(key, 1)
             )
             self._release("vae")

@@ -200,7 +200,7 @@ class FluxServer:
             )
             sigmas = sigmas[params.num_steps - steps_run:]
             x = p._prepare_image_batch(init_image, 1, params)
-            lat = p._encode_image_jit(
+            lat = p._encode_image_any(
                 p._component("vae", p.vae_params), x, jax.random.fold_in(key, 1)
             )
             p._release("vae")
