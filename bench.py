@@ -322,9 +322,16 @@ def bench_image(args, preset) -> int:
 def bench_serve(args, preset) -> int:
     """Serving throughput: N queued prompts through FluxServer's continuous
     batching vs the same prompts sequentially — the server's win is batching
-    lanes at different denoise steps into shared forwards."""
+    lanes at different denoise steps into shared forwards.
+
+    ``--impl`` selects the transformer exec format (q8t / q4=nf4 / dense);
+    every 4th request is an img2img lane (random init image, strength 0.6)
+    so the row exercises the mixed t2i/i2i continuous-batching path
+    (VERDICT r3 next #7). North-star serving row:
+    ``python bench.py --mode serve --res 1024 --impl q8t``."""
     jax = _setup_jax()
     import jax.numpy as jnp
+    import numpy as np
 
     from diffusion_rs_tpu.models.clip import ClipTextConfig, init_clip_params
     from diffusion_rs_tpu.models.flux import FluxConfig, init_flux_params
@@ -361,7 +368,12 @@ def bench_serve(args, preset) -> int:
         flux_cfg = FluxConfig(guidance_embeds=False)  # schnell-style serving
         t5_cfg, clip_cfg, vae_cfg = T5Config(), ClipTextConfig(), VAEConfig()
         res, steps, n_req = args.res, 4, 8
-        flux_params = init_flux_params_quantized(ks[0], flux_cfg, dtype)
+        if args.impl == "dense":
+            flux_params = init_flux_params(ks[0], flux_cfg, dtype)
+        else:
+            kind = "q8t" if args.impl == "q8t" else "nf4"
+            flux_params = init_flux_params_quantized(
+                ks[0], flux_cfg, dtype, kind=kind)
         t5_params = init_t5_params_quantized(ks[1], t5_cfg, dtype)
     flux_params, flux_cfg = _maybe_rope_fused(flux_params, flux_cfg)
     clip_params = init_clip_params(ks[2], clip_cfg, dtype)
@@ -379,30 +391,53 @@ def bench_serve(args, preset) -> int:
     gp = DiffusionGenerationParams(
         height=res, width=res, num_steps=steps, guidance_scale=0.0, seed=1)
     prompts = [f"subject number {i}" for i in range(n_req)]
+    # Mixed-lane workload: every 4th request is img2img (random init image,
+    # strength 0.6 -> truncated per-lane schedule) so the bench exercises
+    # t2i and i2i lanes continuous-batching together.
+    init_img = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(7), (res, res, 3), 0, 256),
+        np.uint8)
+    is_i2i = [i % 4 == 3 for i in range(n_req)]
+
+    def _seq_one(p, i2i):
+        if i2i:
+            pipe.forward_arrays([p], gp, init_image=init_img, strength=0.6)
+        else:
+            pipe.forward_arrays([p], gp)
+
+    def _submit_one(p, i2i):
+        if i2i:
+            return server.submit(p, gp, init_image=init_img, strength=0.6)
+        return server.submit(p, gp)
+
     # warm every sequential compile first, then time warm runs — otherwise
     # seq_s would include minutes of jit compilation and wildly overstate
     # the serving speedup
-    pipe.forward_arrays([prompts[0]], gp)
+    _seq_one(prompts[0], False)
+    if any(is_i2i):
+        _seq_one(prompts[0], True)
     t0 = time.perf_counter()
-    for p in prompts:
-        pipe.forward_arrays([p], gp)
+    for p, i2i in zip(prompts, is_i2i):
+        _seq_one(p, i2i)
     seq_s = time.perf_counter() - t0
     server = FluxServer(pipe, max_batch=args.batch if args.batch > 1 else 4)
     try:
         # warm the batched-step graphs
-        [f.result() for f in [server.submit(p, gp) for p in prompts]]
+        [f.result() for f in
+         [_submit_one(p, i2i) for p, i2i in zip(prompts, is_i2i)]]
         t0 = time.perf_counter()
-        futs = [server.submit(p, gp) for p in prompts]
+        futs = [_submit_one(p, i2i) for p, i2i in zip(prompts, is_i2i)]
         [f.result() for f in futs]
         srv_s = time.perf_counter() - t0
         occ = server.stats()["occupancy"]
     finally:
         server.shutdown()
+    n_i2i = sum(is_i2i)
     print(json.dumps({
-        "metric": f"FLUX.1-schnell {res}x{res} serving throughput "
-                  f"({n_req} requests, {steps} steps, max_batch "
-                  f"{server.max_batch}, occupancy {occ:.0%}; sequential "
-                  f"{n_req/seq_s:.3f} img/s)",
+        "metric": f"FLUX.1-schnell {res}x{res} {args.impl} serving throughput "
+                  f"({n_req} requests, {n_i2i} img2img lanes, {steps} steps, "
+                  f"max_batch {server.max_batch}, occupancy {occ:.0%}; "
+                  f"sequential {n_req/seq_s:.3f} img/s)",
         "value": round(n_req / srv_s, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(seq_s / srv_s, 4),

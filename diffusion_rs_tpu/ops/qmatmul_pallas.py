@@ -192,7 +192,8 @@ def _scale_block_spec(rows: int, bn: int):
 
 
 def _plan_tiles(m: int, k: int, n: int, bits: int, group: int, split: int,
-                has_bias: bool, bm_cap: int, bn_cap: int):
+                has_bias: bool, bm_cap: int, bn_cap: int,
+                out_itemsize: int = 2):
     """Pick (bm, bn, bk) within the VMEM budget, or None if no tile fits.
 
     bk = split for 4-bit: measured on v5e, growing bk to 512 via the
@@ -218,7 +219,11 @@ def _plan_tiles(m: int, k: int, n: int, bits: int, group: int, split: int,
         return (
             2 * bm_ * bk * 2          # x blocks (pipelined)
             + bm_ * bn_ * 4           # f32 accumulator
-            + bm_ * bn_ * 2           # output block
+            # output block: sized by the caller's out dtype — an f32 out
+            # (e.g. parity probes) doubles this term, and pretending it is
+            # bf16 produced a scoped-vmem compile OOM at full-size tiles
+            # (caught by tools/smoke_tpu.py on-chip, r4)
+            + bm_ * bn_ * out_itemsize
             + 2 * (bk // 2 if bits == 4 else bk) * bn_  # packed blocks
             + (k // group) * bn_ * 4 * (2 if has_bias else 1)
         )
@@ -278,7 +283,7 @@ def _qmm_call(x, packed, scale, bias, codebook, *, bits, group, split, kn,
     k, n = kn
     m = x.shape[0]
     plan = _plan_tiles(m, k, n, bits, group, split, bias is not None,
-                       bm_cap, bn_cap)
+                       bm_cap, bn_cap, jnp.dtype(out_dtype).itemsize)
     if plan is None:
         # callers pre-check via supports()/_plan_tiles; surface a clear
         # error instead of a raw Mosaic VMEM failure if one slips through
@@ -422,7 +427,8 @@ def quantized_matmul(
         and bool(os.environ.get("DIFFUSION_RS_TPU_QMM_FAST16"))
     )
     if _plan_tiles(x2.shape[0], k, n, qt.bits, qt.group, qt.split,
-                   qt.bias is not None, bm_cap, bn_cap) is None:
+                   qt.bias is not None, bm_cap, bn_cap,
+                   jnp.dtype(out_dtype).itemsize) is None:
         warn_once(
             f"qmm-vmem-{qt.kind}-{k}x{n}",
             f"quantized_matmul: no {qt.kind} [{k}x{n}] (group {qt.group}) "

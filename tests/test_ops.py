@@ -224,6 +224,24 @@ def test_qmm_fast16_decode_budget(rng):
         assert rel_fast <= 2.0 * rel_f32 + 1e-4, (qt.kind, rel_fast, rel_f32)
 
 
+def test_qmm_plan_accounts_out_dtype():
+    """The VMEM tile planner must size the output block by the CALLER's out
+    dtype: with the north-star nf4 shape (M4608 K=N=3072, bn_cap 1024) an f32
+    out at the bf16-sized plan exceeded the 16 MB scoped-vmem limit on-chip
+    (caught by tools/smoke_tpu.py, r4) — the f32 plan must shrink."""
+    from diffusion_rs_tpu.ops.qmatmul_pallas import _plan_tiles
+
+    args = (4608, 3072, 3072, 4, 64, 64, False, 1536, 1024)
+    plan_bf16 = _plan_tiles(*args, out_itemsize=2)
+    plan_f32 = _plan_tiles(*args, out_itemsize=4)
+    assert plan_bf16 is not None and plan_f32 is not None
+    bm16, bn16, _ = plan_bf16
+    bm32, bn32, _ = plan_f32
+    assert bm32 * bn32 < bm16 * bn16  # f32 out must buy a smaller tile
+    # and the shrunken plan actually fits the planner's own budget
+    assert bm32 >= 256 and bn32 >= 128
+
+
 def test_qmm_accuracy_budget(rng):
     """End-to-end quantize->fused-matmul error budget (reference: <= 0.02)."""
     m, k, n = 16, 512, 256

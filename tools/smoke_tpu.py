@@ -19,11 +19,14 @@ closes the gap on real hardware in one command.
 from __future__ import annotations
 
 import argparse
+import pathlib
 import statistics
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 # BENCH.md recorded rates (v5e, tools/kernel_bench.py methodology).
 REFERENCE_TFLOPS = {
