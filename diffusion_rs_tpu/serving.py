@@ -97,7 +97,9 @@ class FluxServer:
 
     def __init__(self, pipeline, max_batch: int = 4, poll_ms: float = 2.0,
                  request_timeout_s: Optional[float] = None,
-                 max_queue: Optional[int] = 256):
+                 max_queue: Optional[int] = 256,
+                 encode_cache: int = 32):
+        from collections import OrderedDict
         from concurrent.futures import ThreadPoolExecutor
 
         self.pipe = pipeline
@@ -109,6 +111,14 @@ class FluxServer:
         # a client burst would otherwise contend on dispatch and grow RSS
         # without limit (VERDICT r3 weak #3). None disables the bound.
         self.max_queue = max_queue
+        # Prompt-encoding LRU: (prompt, t5_len) -> (txt[T,D], y[Dp]) device
+        # arrays. Production workloads repeat prompts (retries, seed sweeps,
+        # A/B galleries); a hit skips the T5-XXL + CLIP forward entirely —
+        # and under Offloading.Full also the encoder weight upload that
+        # surrounds it. Entries are activations (~4 MiB at T=512 bf16), so
+        # 32 entries cost < 150 MiB HBM. 0 disables.
+        self.encode_cache = encode_cache
+        self._encode_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._queue: List[_Lane] = []
         self._inflight = 0  # worker-maintained, read under _lock by stats()
         self._lock = threading.Lock()
@@ -138,7 +148,7 @@ class FluxServer:
         self._m = {
             "submitted": 0, "completed": 0, "failed": 0, "rejected": 0,
             "forwards": 0, "lane_steps": 0, "padded_lane_steps": 0,
-            "latency_sum_s": 0.0,
+            "encode_cache_hits": 0, "latency_sum_s": 0.0,
         }
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -168,18 +178,35 @@ class FluxServer:
         t5_len = getattr(params, "max_sequence_length", None) or (
             512 if p.flux_cfg.guidance_embeds else 256
         )
-        from .io.tokenizer import tokenize_and_pad
+        ck = (prompt, t5_len)
+        cached = None
+        if self.encode_cache:
+            with self._lock:
+                cached = self._encode_lru.get(ck)
+                if cached is not None:
+                    self._encode_lru.move_to_end(ck)
+                    self._m["encode_cache_hits"] += 1
+        if cached is not None:
+            txt0, y0 = cached
+        else:
+            from .io.tokenizer import tokenize_and_pad
 
-        t5_ids = tokenize_and_pad([prompt], p.t5_tokenizer, pad_to=t5_len)
-        clip_ids = tokenize_and_pad([prompt], p.clip_tokenizer)[:, :77]
-        txt, y = p._encode_jit(
-            p._component("t5", p.t5_params),
-            p._component("clip", p.clip_params),
-            jnp.asarray(t5_ids), jnp.asarray(clip_ids),
-        )
-        txt.block_until_ready()
-        p._release("t5")
-        p._release("clip")
+            t5_ids = tokenize_and_pad([prompt], p.t5_tokenizer, pad_to=t5_len)
+            clip_ids = tokenize_and_pad([prompt], p.clip_tokenizer)[:, :77]
+            txt, y = p._encode_jit(
+                p._component("t5", p.t5_params),
+                p._component("clip", p.clip_params),
+                jnp.asarray(t5_ids), jnp.asarray(clip_ids),
+            )
+            txt.block_until_ready()
+            p._release("t5")
+            p._release("clip")
+            txt0, y0 = txt[0], y[0]
+            if self.encode_cache:
+                with self._lock:
+                    self._encode_lru[ck] = (txt0, y0)
+                    while len(self._encode_lru) > self.encode_cache:
+                        self._encode_lru.popitem(last=False)
         mu = calculate_shift(
             ((params.height + 15) // 16) * ((params.width + 15) // 16),
             p.scheduler.base_image_seq_len, p.scheduler.max_image_seq_len,
@@ -209,7 +236,7 @@ class FluxServer:
         lane = _Lane(
             future=fut, prompt=prompt, params=params,
             latent=pack_latents(noise.astype(jnp.float32))[0],
-            txt=txt[0], y=y[0],
+            txt=txt0, y=y0,
             guidance=float(params.guidance_scale),
             sigmas=np.asarray(sigmas, np.float32),
             t_submit=time.perf_counter(),
@@ -247,7 +274,7 @@ class FluxServer:
     # suffix rate()/increase() expect); point-in-time stats stay gauges.
     _COUNTERS = frozenset(
         {"submitted", "completed", "failed", "rejected", "forwards",
-         "lane_steps", "padded_lane_steps"}
+         "lane_steps", "padded_lane_steps", "encode_cache_hits"}
     )
 
     def metrics_text(self) -> str:

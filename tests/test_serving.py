@@ -271,3 +271,36 @@ def test_server_stats_inflight_consistent(pipe):
         assert server.stats()["in_flight"] == 0
     finally:
         server.shutdown()
+
+
+def test_server_encode_cache(pipe):
+    """Repeat prompts skip the T5/CLIP encode: the LRU keyed on
+    (prompt, t5_len) serves the cached (txt, y), the hit counter ticks, and
+    the cached lane produces the SAME image as the uncached one (identical
+    seed => identical latents; txt/y are deterministic)."""
+    server = FluxServer(pipe._inner, max_batch=2, encode_cache=2)
+    try:
+        a1 = server.submit("same prompt", _params(2, 5)).result(timeout=600)
+        assert server.stats()["encode_cache_hits"] == 0
+        a2 = server.submit("same prompt", _params(2, 5)).result(timeout=600)
+        assert server.stats()["encode_cache_hits"] == 1
+        np.testing.assert_array_equal(a1, a2)
+        # LRU bound: two new prompts evict "same prompt" (size 2)
+        server.submit("p2", _params(2, 6)).result(timeout=600)
+        server.submit("p3", _params(2, 7)).result(timeout=600)
+        server.submit("same prompt", _params(2, 5)).result(timeout=600)
+        assert server.stats()["encode_cache_hits"] == 1  # was evicted
+        assert "drs_server_encode_cache_hits_total" in server.metrics_text()
+    finally:
+        server.shutdown()
+
+
+def test_server_encode_cache_disabled(pipe):
+    server = FluxServer(pipe._inner, max_batch=1, encode_cache=0)
+    try:
+        server.submit("q", _params(2, 1)).result(timeout=600)
+        server.submit("q", _params(2, 1)).result(timeout=600)
+        assert server.stats()["encode_cache_hits"] == 0
+        assert not server._encode_lru
+    finally:
+        server.shutdown()
