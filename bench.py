@@ -100,11 +100,9 @@ def _setup_jax():
     # Persistent compilation cache: the big scan graph + Mosaic kernels take
     # minutes through the remote-compile path on first build; cache across
     # processes so driver bench runs hit warm artifacts.
-    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from diffusion_rs_tpu.util.compile_cache import enable_compile_cache
+
+    enable_compile_cache(str(pathlib.Path(__file__).parent / ".jax_cache"))
     return jax
 
 
@@ -420,7 +418,11 @@ def bench_serve(args, preset) -> int:
     for p, i2i in zip(prompts, is_i2i):
         _seq_one(p, i2i)
     seq_s = time.perf_counter() - t0
-    server = FluxServer(pipe, max_batch=args.batch if args.batch > 1 else 4)
+    # encode_cache off: the warm pass reuses the timed pass's prompts, so
+    # the cache would let the server skip encodes the sequential baseline
+    # pays — the row must measure the BATCHING win only, not caching
+    server = FluxServer(pipe, max_batch=args.batch if args.batch > 1 else 4,
+                        encode_cache=0)
     try:
         # warm the batched-step graphs
         [f.result() for f in

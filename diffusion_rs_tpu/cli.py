@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-request serving timeout in seconds")
     p.add_argument("--max-batch", type=int, default=4,
                    help="serving lanes sharing each batched forward")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory "
+                        "(DIFFUSION_RS_TPU_COMPILE_CACHE); reuses compiled "
+                        "stages across process restarts")
     p.add_argument("--silent", action="store_true")
     return p
 
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
             args.lora_scale if args.lora_scale is not None
             else [1.0] * len(args.lora or [])
         ) or 1.0,
+        compile_cache=args.compile_cache,
     )
 
     def generate(prompt: str, height: int, width: int, out_path: str):

@@ -244,8 +244,12 @@ def _s8_m_crossover() -> int:
     Measured on v5e (BENCH.md r4). Env override for other parts/topologies."""
     import os
 
-    return int(os.environ.get("DIFFUSION_RS_TPU_Q8T_S8_MAX_M", "0") or
-               _S8_M_CROSSOVER_DEFAULT)
+    # NB: unset env must mean "no override". `.get(key, "0") or default`
+    # returned the TRUTHY string "0" when unset -> crossover 0 -> the s8
+    # path was never selected (r4 smoke caught the silent ~25% q8t
+    # regression; test_q8t_s8_crossover_default pins this).
+    env = os.environ.get("DIFFUSION_RS_TPU_Q8T_S8_MAX_M")
+    return int(env) if env else _S8_M_CROSSOVER_DEFAULT
 
 
 # r4 on-chip M-sweep (BENCH.md r4): s8 wins at every measured M, so the

@@ -95,6 +95,7 @@ class Pipeline:
         mesh=None,
         t5_mask_pads: Optional[bool] = None,
         step_progress: Optional[bool] = None,
+        compile_cache: Optional[str] = None,
     ):
         """``isq``: in-situ-quantize dense transformer linears at load
         ("q4_0" | "q8_0" | "q4_k" | "q6_k" | "nf4") — IsqType equivalent
@@ -122,7 +123,13 @@ class Pipeline:
         ``DIFFUSION_RS_TPU_PROGRESS`` env vars are the defaults). They are
         frozen because jit traces them as constants — toggling env after
         construction would silently keep the cached graph; the pipeline
-        exposes them read-only instead."""
+        exposes them read-only instead.
+
+        ``compile_cache``: directory for JAX's persistent XLA compilation
+        cache (``DIFFUSION_RS_TPU_COMPILE_CACHE`` env var is the default) —
+        a restarted serving process or the next CLI run reuses compiled
+        stage artifacts instead of paying the 20-40 s/stage cold compile
+        (util/compile_cache.py)."""
         from .loader import load_pipeline  # deferred: heavy imports
 
         self._inner = load_pipeline(
@@ -139,6 +146,7 @@ class Pipeline:
             mesh=mesh,
             t5_mask_pads=t5_mask_pads,
             step_progress=step_progress,
+            compile_cache=compile_cache,
         )
 
     def forward(

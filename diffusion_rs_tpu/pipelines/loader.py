@@ -100,7 +100,13 @@ def load_pipeline(
     mesh=None,
     t5_mask_pads: Optional[bool] = None,
     step_progress: Optional[bool] = None,
+    compile_cache: Optional[str] = None,
 ) -> FluxPipeline:
+    from ..util.compile_cache import enable_compile_cache
+
+    # before any jit: the persistent cache only serves compilations that
+    # happen after it is configured
+    enable_compile_cache(compile_cache)
     loader = FileLoader(
         model_id=source.model_id,
         dduf_file=source.dduf_file,

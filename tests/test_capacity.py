@@ -100,3 +100,36 @@ def test_q8t_s8_path_auto_dispatch(monkeypatch):
             assert rel < 2e-2, rel  # reference quantized-matmul budget
     finally:
         qp._s8_m_crossover.cache_clear()
+
+
+def test_q8t_s8_crossover_default(monkeypatch):
+    """UNSET env must mean 'no override': the r4 bug returned int('0')=0
+    from the `.get(key, "0") or default` idiom (a truthy "0" string), which
+    silently disabled the s8 MXU path for every default q8t run (~25% step
+    regression, caught by tools/smoke_tpu.py on-chip)."""
+    from diffusion_rs_tpu.ops import partitioned
+    from diffusion_rs_tpu.ops import qmatmul_pallas as qp
+
+    monkeypatch.delenv("DIFFUSION_RS_TPU_Q8T_S8_MAX_M", raising=False)
+    qp._s8_m_crossover.cache_clear()
+    try:
+        assert qp._s8_m_crossover() == qp._S8_M_CROSSOVER_DEFAULT
+        # and the library selects s8 at the north-star M with NO env set
+        seen = []
+        real = partitioned.make_partitioned_qmm
+
+        def spy(*args, **kw):
+            seen.append(args[10] if len(args) > 10 else kw.get("s8_act"))
+            return real(*args, **kw)
+
+        monkeypatch.setattr(partitioned, "make_partitioned_qmm", spy)
+        k, n = 256, 256
+        w = np.random.default_rng(1).standard_normal((k, n)).astype(np.float32)
+        qt = quantize_q8_tile(w)
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((4608, k)), jnp.bfloat16
+        )
+        qp.quantized_matmul(x, qt, interpret=True)
+        assert seen == [True], seen
+    finally:
+        qp._s8_m_crossover.cache_clear()

@@ -77,15 +77,24 @@ def smoke_qmm(res: Result, kind: str, m: int, k: int, n: int, quick: bool,
           if kind == "nf4" else quantize_q8_tile(w))
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
 
-    # numerics vs the XLA dequant reference
-    got = np.asarray(quantized_matmul(x, qt, out_dtype=jnp.float32))
-    want = np.asarray(
-        jnp.matmul(x, dequantize(qt, jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
-    )
-    denom = np.abs(want).sum() or 1.0
-    rel = np.abs(got - want).sum() / denom
-    tol = 5e-3 if kind == "q8t" else 1e-6  # s8 activations quantize; nf4 exact
+    # numerics vs the XLA dequant reference. All comparisons reduce ON
+    # DEVICE to scalars: large-array D2H can race the axon relay and fetch
+    # garbage (the r4 false-FAIL), and a nan rel would wash out as
+    # nan > tol == False — check finiteness explicitly first.
+    got = quantized_matmul(x, qt, out_dtype=jnp.float32)
+    want = jnp.matmul(x, dequantize(qt, jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    if not bool(jnp.isfinite(got).all()):
+        res.add(name, False, "kernel output has non-finite values")
+        return
+    denom = float(jnp.abs(want).sum()) or 1.0
+    rel = float(jnp.abs(got - want).sum()) / denom
+    # q8t runs s8 x s8: per-row int8 ACTIVATION quantization adds ~7e-3 rel
+    # at standard-normal K=3072 — inside the reference's 0.02 quantized
+    # matmul budget (core/tests/quantized_tests.rs:40-46, same budget as
+    # tests/test_ops.py); nf4 decodes weights exactly vs the bf16 reference.
+    tol = 2e-2 if kind.startswith("q8t") else 1e-6
+
     if rel > tol:
         res.add(name, False, f"numerics rel err {rel:.2e} > {tol}")
         return
@@ -93,14 +102,12 @@ def smoke_qmm(res: Result, kind: str, m: int, k: int, n: int, quick: bool,
         res.add(name, True, f"numerics rel err {rel:.2e}")
         return
 
-    reps = 50
-
-    @jax.jit
-    def f(x):
-        y = x
-        for _ in range(reps):
-            y = quantized_matmul(y, qt) if k == n else quantized_matmul(y, qt)
-        return y.sum()
+    # Perf methodology must match how the LIBRARY runs: weight planes are
+    # jit ARGUMENTS (model params are pytree args in the pipeline), never
+    # closed-over constants — closure constants measured 24% slower on-chip
+    # (r4). reps=100 amortizes the axon-relay dispatch (~6 ms/invocation);
+    # reps=50 under-reported by ~25%.
+    reps = 100
 
     if k != n:  # chain with a back-projection so shapes compose
         w2 = (rng.standard_normal((n, k)) * 0.02).astype(np.float32)
@@ -108,16 +115,25 @@ def smoke_qmm(res: Result, kind: str, m: int, k: int, n: int, quick: bool,
                if kind == "nf4" else quantize_q8_tile(w2))
 
         @jax.jit
-        def f(x):
+        def f(x, qt, qt2):
             y = x
             for _ in range(reps):
                 y = quantized_matmul(quantized_matmul(y, qt), qt2)
             return y.sum()
 
         flops = 2.0 * 2.0 * m * k * n
+        t = _timeit(f, x, qt, qt2, iters=5) / reps
     else:
+
+        @jax.jit
+        def f(x, qt):
+            y = x
+            for _ in range(reps):
+                y = quantized_matmul(y, qt)
+            return y.sum()
+
         flops = 2.0 * m * k * n
-    t = _timeit(f, x, iters=5) / reps
+        t = _timeit(f, x, qt, iters=5) / reps
     tf = flops / t / 1e12
     ref = REFERENCE_TFLOPS.get(name)
     passed = ref is None or tf >= ref * (1 - slack)
@@ -145,13 +161,21 @@ def smoke_flash(res: Result, s8: bool, b: int, h: int, s: int, d: int,
     if lse:
         out, lse_v = _flash_call(q, k, v, float(d) ** -0.5, 512, 1536, False,
                                  save_lse=True, s8=s8)
-        finite = bool(np.isfinite(np.asarray(lse_v)).all())
+        # finiteness reduced ON DEVICE: a large-array D2H straight after the
+        # perf loops can race the axon relay (block_until_ready returns
+        # early) and fetch garbage — the r4 false "lse has non-finite" FAIL;
+        # the scalar readback is the relay-safe sync (BENCH.md methodology)
+        finite = bool(jnp.isfinite(lse_v).all() & jnp.isfinite(out).all())
         res.add(name, finite, "lse finite" if finite else "lse has non-finite")
         return
-    got = np.asarray(flash_attention(q, k, v, s8=s8), np.float32)
-    want = np.asarray(sdpa_xla(q, k, v), np.float32)
-    denom = np.abs(want).sum() or 1.0
-    rel = np.abs(got - want).sum() / denom
+    # on-device reductions (relay-safe scalar readbacks — see smoke_qmm)
+    got = flash_attention(q, k, v, s8=s8).astype(jnp.float32)
+    want = sdpa_xla(q, k, v).astype(jnp.float32)
+    if not bool(jnp.isfinite(got).all()):
+        res.add(name, False, "kernel output has non-finite values")
+        return
+    denom = float(jnp.abs(want).sum()) or 1.0
+    rel = float(jnp.abs(got - want).sum()) / denom
     tol = 8e-3 if s8 else 3e-3  # bf16 rounding; s8 adds QK^T quantization
     if rel > tol:
         res.add(name, False, f"numerics rel err {rel:.2e} > {tol}")
@@ -192,8 +216,8 @@ def smoke_tiled_decode(res: Result):
                     latent_channels=16)
     params = init_vae_params(jax.random.PRNGKey(3), cfg, jnp.bfloat16)
     z = jax.random.normal(jax.random.PRNGKey(0), (1, 24, 24, 16), jnp.bfloat16)
-    out = np.asarray(vae_decode_tiled(params, cfg, z, tile=16, overlap=4))
-    ok = out.shape == (1, 48, 48, 3) and np.isfinite(out).all()
+    out = vae_decode_tiled(params, cfg, z, tile=16, overlap=4)
+    ok = out.shape == (1, 48, 48, 3) and bool(jnp.isfinite(out).all())
     res.add("vae-tiled-decode", bool(ok), f"shape {out.shape}")
 
 
