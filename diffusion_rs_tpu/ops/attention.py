@@ -95,6 +95,27 @@ _S8_MEASURED_DEFAULT = False
 
 
 @functools.lru_cache(None)
+def _s8_pv_default() -> bool:
+    """Whether the flash kernel runs P.V as s8 x s8 (in-kernel p quantize at
+    the exact [0,1] range, mean-centered int8 v from an XLA prepass —
+    ops/flash_pallas.py). Unlike QK^T, the P.V contraction runs over
+    block_k, so the int8 MXU rate applies. Default is the measured
+    adopt-or-reject verdict (BENCH.md r4); DIFFUSION_RS_TPU_ATTN_S8PV=0/1
+    overrides."""
+    env = os.environ.get("DIFFUSION_RS_TPU_ATTN_S8PV", "").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "force", "true"):
+        return True
+    return _S8PV_MEASURED_DEFAULT
+
+
+# Pending the round-4 on-chip A/B (tools/kernel_bench.py flash --s8pv +
+# step-mode bench with DIFFUSION_RS_TPU_ATTN_S8PV=1) — off until measured.
+_S8PV_MEASURED_DEFAULT = False
+
+
+@functools.lru_cache(None)
 def _merged_default() -> bool:
     """Whether sdpa_merged uses the kernel's seq-major output write
     (out_seqmajor) instead of bhsd + transpose. DIFFUSION_RS_TPU_ATTN_MERGED=0
@@ -112,9 +133,11 @@ def sdpa(
     softcap: Optional[float] = None,
     impl: Optional[str] = None,
     s8: Optional[bool] = None,
+    s8_pv: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Dispatching SDPA. ``impl`` in {None (auto), "flash", "interpret",
-    "xla"}; ``s8`` (None = env default) quantizes QK^T to int8 in-kernel."""
+    "xla"}; ``s8`` (None = env default) quantizes QK^T to int8 in-kernel;
+    ``s8_pv`` (None = env default) runs P.V as s8 x s8."""
     if impl is None:
         mode = _flash_mode()
         impl = mode if (mode and bias is None and softcap is None) else "xla"
@@ -123,9 +146,12 @@ def sdpa(
 
         if s8 is None:
             s8 = _s8_default()
+        if s8_pv is None:
+            s8_pv = _s8_pv_default()
         try:
             return flash_attention(
-                q, k, v, scale=scale, interpret=(impl == "interpret"), s8=s8
+                q, k, v, scale=scale, interpret=(impl == "interpret"), s8=s8,
+                s8_pv=s8_pv,
             )
         except NotImplementedError:
             pass
@@ -139,6 +165,7 @@ def sdpa_merged(
     scale: Optional[float] = None,
     impl: Optional[str] = None,
     s8: Optional[bool] = None,
+    s8_pv: Optional[bool] = None,
 ) -> jnp.ndarray:
     """SDPA returning the head-MERGED layout: [B, H, S, D] -> [B, S, H*D].
 
@@ -155,15 +182,17 @@ def sdpa_merged(
 
         if s8 is None:
             s8 = _s8_default()
+        if s8_pv is None:
+            s8_pv = _s8_pv_default()
         if _merged_default():
             try:
                 return flash_attention(
                     q, k, v, scale=scale, interpret=(impl == "interpret"),
-                    s8=s8, out_seqmajor=True,
+                    s8=s8, out_seqmajor=True, s8_pv=s8_pv,
                 )
             except NotImplementedError:
                 pass
-        x = sdpa(q, k, v, scale=scale, impl=impl, s8=s8)
+        x = sdpa(q, k, v, scale=scale, impl=impl, s8=s8, s8_pv=s8_pv)
     else:
         x = sdpa_xla(q, k, v, scale=scale)
     b, h, s, d = x.shape

@@ -47,10 +47,10 @@ _ABLATE = _os.environ.get("DIFFUSION_RS_TPU_FLASH_ABLATE", "")
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, sk_ref, o_ref, lse_ref,
+    q_ref, k_ref, v_ref, sk_ref, sv_ref, vm_ref, o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch, qq_scratch=None, sq_scratch=None,
     *, scale: float, kv_len: int, block_k: int, s8: bool = False,
-    seq_out: bool = False
+    s8_pv: bool = False, seq_out: bool = False
 ):
     kv_i = pl.program_id(3)
     n_kv = pl.num_programs(3)
@@ -126,11 +126,39 @@ def _flash_kernel(
         m_scratch[...] = m_next
         l_scratch[...] = l_next
 
-    v = v_ref[0, 0]  # [bk, d]
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    v = v_ref[0, 0]  # [bk, d] (int8 when s8_pv)
+    if s8_pv:
+        # s8 x s8 P.V: unlike QK^T (K = head_dim = 128, pipeline-latency
+        # bound — BENCH.md r4), P.V contracts over the kv tile (block_k),
+        # so the systolic pipeline is full and the int8 MXU rate can bite.
+        # p = exp(s - m_next) is exactly in [0, 1], so a FIXED 127 scale
+        # quantizes it with no max pass; v arrives int8 from the XLA
+        # prepass (_quantize_v: per-(b,h) mean-centered — exact, the mean
+        # is added back at finalize since softmax weights sum to 1 — with
+        # one scalar scale per kv tile, halving the v DMA stream).
+        pq = jnp.round(p * 127.0).astype(jnp.int8)
+        pv_i = jax.lax.dot_general(
+            pq, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sv = sv_ref[pl.program_id(0), pl.program_id(1), kv_i]
+        pv = pv_i.astype(jnp.float32) * (sv * (1.0 / 127.0))
+        if _ABLATE != "pvnol":
+            # normalize by the SAME quantized weights the accumulator saw:
+            # sum(round(p*127))/127 instead of sum(p) keeps o an exact convex
+            # combination of v rows (quantization error cancels in o's scale
+            # instead of biasing it).
+            l_scratch[...] = (
+                l_scratch[...]
+                - jnp.sum(p, axis=-1, keepdims=True)
+                + jnp.sum(pq.astype(jnp.float32), axis=-1, keepdims=True)
+                * (1.0 / 127.0)
+            )
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if alpha is None:
         acc_scratch[...] = acc_scratch[...] + pv
     else:
@@ -141,9 +169,13 @@ def _flash_kernel(
         l = l_scratch[...][:, :1]
         # Padded q rows can have l == 0; keep them finite (sliced off later).
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o = (acc_scratch[...] * pl.reciprocal(
-            l_safe, approx=False
-        )).astype(o_ref.dtype)
+        of = acc_scratch[...] * pl.reciprocal(l_safe, approx=False)
+        if s8_pv:
+            # add back the per-(b,h) v mean removed by _quantize_v — exact,
+            # since the softmax weights sum to 1 (and o is an exact convex
+            # combination of v rows under the quantized-l normalization)
+            of = of + vm_ref[0, 0, 0][None, :]
+        o = of.astype(o_ref.dtype)
         if seq_out:
             # output block is a per-head column slice of [B, S, H*D] — the
             # head-merge transpose after attention disappears (VERDICT r3
@@ -182,33 +214,57 @@ def _quantize_k(k, block_k: int):
     return kq.reshape(b, h, skv_p, d), sk
 
 
+def _quantize_v(v, block_k: int):
+    """XLA prepass for the s8 P.V path: center v by its global per-(b,h)
+    channel mean (exact — the softmax weights sum to 1, so the mean is added
+    back to the output at finalize; the same smoothing observation as k, it
+    removes the common-mode component from the int8 grid) and
+    symmetric-int8 quantize with ONE scalar scale per kv tile. Returns
+    vq [b,h,skv_p,d] int8 (tile-padded with zeros), sv [b,h,n_tiles] f32,
+    and the removed mean vm [b,h,d] f32. The kernel streams HALF the v
+    bytes."""
+    b, h, skv, d = v.shape
+    vf = v.astype(jnp.float32)
+    vm = jnp.mean(vf, axis=2)  # [b, h, d]
+    vc = vf - vm[:, :, None, :]
+    skv_p = _round_up(skv, block_k)
+    if skv_p != skv:
+        vc = jnp.pad(vc, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    n_t = skv_p // block_k
+    vt = vc.reshape(b, h, n_t, block_k, d)
+    av = jnp.max(jnp.abs(vt), axis=(3, 4))  # [b, h, n_t]
+    sv = jnp.where(av == 0.0, 1.0, av / 127.0)
+    vq = jnp.round(vt / sv[..., None, None]).astype(jnp.int8)
+    return vq.reshape(b, h, skv_p, d), sv, vm
+
+
 def _mk_kernel(save_lse: bool, **kw):
     """Adapt _flash_kernel's full signature to the actual pallas arg list
-    (sk input only when s8; lse output only when save_lse)."""
-    s8 = kw["s8"]
-    if s8 and save_lse:
-        return functools.partial(_flash_kernel, **kw)
-    if s8:
-        def k_(q, k, v, sk, o, *scratch):
-            _flash_kernel(q, k, v, sk, o, None, *scratch, **kw)
-        return k_
-    if save_lse:
-        def k_(q, k, v, o, lse, *scratch):
-            _flash_kernel(q, k, v, None, o, lse, *scratch, **kw)
-        return k_
+    (sk input only when s8; sv/vm inputs only when s8_pv; lse output only
+    when save_lse)."""
+    s8, s8_pv = kw["s8"], kw["s8_pv"]
 
-    def k_(q, k, v, o, *scratch):
-        _flash_kernel(q, k, v, None, o, None, *scratch, **kw)
+    def k_(*refs):
+        refs = list(refs)
+        q, k, v = refs[:3]
+        rest = refs[3:]
+        sk = rest.pop(0) if s8 else None
+        sv = rest.pop(0) if s8_pv else None
+        vm = rest.pop(0) if s8_pv else None
+        o = rest.pop(0)
+        lse = rest.pop(0) if save_lse else None
+        _flash_kernel(q, k, v, sk, sv, vm, o, lse, *rest, **kw)
+
     return k_
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "block_k", "interpret", "save_lse",
-                     "s8", "seq_out"),
+                     "s8", "seq_out", "s8_pv"),
 )
 def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False,
-                s8=False, seq_out=False):
+                s8=False, seq_out=False, s8_pv=False):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     sq_p = _round_up(sq, block_q)
@@ -220,13 +276,16 @@ def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False,
         k, sk = _quantize_k(k, block_k)  # handles its own kv padding
     elif skv_p != skv:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
-    if skv_p != skv:
+    sv = vm = None
+    if s8_pv:
+        v, sv, vm = _quantize_v(v, block_k)  # handles its own kv padding
+    elif skv_p != skv:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
 
     if seq_out and save_lse:
         raise NotImplementedError("seq_out + save_lse unused (ring is bhsd)")
     grid = (b, h, sq_p // block_q, skv_p // block_k)
-    kw = dict(scale=scale, kv_len=skv, block_k=block_k, s8=s8,
+    kw = dict(scale=scale, kv_len=skv, block_k=block_k, s8=s8, s8_pv=s8_pv,
               seq_out=seq_out)
     if seq_out:
         o_spec = pl.BlockSpec(
@@ -270,6 +329,13 @@ def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False,
     if s8:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(sk)
+    if s8_pv:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(sv)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, d), lambda b_, h_, qi, ki: (b_, h_, 0, 0)
+        ))
+        args.append(vm[:, :, None, :])
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -282,7 +348,9 @@ def _flash_call(q, k, v, scale, block_q, block_k, interpret, save_lse=False,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_p * skv_p * d,
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            bytes_accessed=q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize  # int8 when s8: half the stream
+            + v.size * v.dtype.itemsize  # int8 when s8_pv
             + b * h * sq_p * d * q.dtype.itemsize,
             transcendentals=b * h * sq_p * skv_p,
         ),
@@ -596,6 +664,7 @@ def flash_attention(
     interpret: bool = False,
     s8: bool = False,
     out_seqmajor: bool = False,
+    s8_pv: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: [B, H, S, D] -> [B, H, Sq, D] (or [B, Sq, H*D] with
     ``out_seqmajor`` — the kernel writes each head's output block straight
@@ -606,6 +675,13 @@ def flash_attention(
     smoothed k scale — see _flash_kernel); softmax state and P.V stay
     f32/bf16. Exactness: ~1e-3 relative on outputs at FLUX magnitudes
     (tests/test_ops.py parity band), vs 2x MXU rate on the QK^T half.
+
+    ``s8_pv`` runs P.V as s8 x s8: p is exactly in [0, 1] (fixed 127 scale,
+    quantized in-kernel with matching l normalization), v is int8 from an
+    XLA prepass (per-(b,h) mean-centered — exact, added back at finalize —
+    with one scale per kv tile). Independent of ``s8``; unlike QK^T this
+    contraction runs over block_k, so the int8 MXU rate applies where the
+    kernel is MAC-bound.
 
     Any head_dim is accepted: D is zero-padded up to the next lane multiple
     (128) before the kernel — exact for attention (zero Q/K columns add 0 to
@@ -635,6 +711,6 @@ def flash_attention(
     from .partitioned import make_partitioned_flash
 
     fa = make_partitioned_flash(float(scale), block_q, block_k, interpret,
-                                s8, out_seqmajor)
+                                s8, out_seqmajor, s8_pv)
     out = fa(q, k, v)
     return out[..., :d] if d_p != d else out

@@ -80,7 +80,7 @@ def ring_attention(q, k, v, axis_name, axis_size, scale, block_q, block_k,
 @functools.lru_cache(None)
 def make_partitioned_flash(scale: float, block_q: int, block_k: int,
                            interpret: bool = False, s8: bool = False,
-                           seq_out: bool = False):
+                           seq_out: bool = False, s8_pv: bool = False):
     """Flash attention with a GSPMD rule: batch/head dims shard freely; a
     sequence-sharded q (sp axis) runs RING attention with k/v kept sharded
     (self-attention only: q and kv seq lengths must match and divide the
@@ -93,7 +93,7 @@ def make_partitioned_flash(scale: float, block_q: int, block_k: int,
 
     def _dense(q, k, v):
         return _flash_call(q, k, v, scale, block_q, block_k, interpret,
-                           s8=s8, seq_out=seq_out)
+                           s8=s8, seq_out=seq_out, s8_pv=s8_pv)
 
     @custom_partitioning
     def fa(q, k, v):

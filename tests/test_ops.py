@@ -317,6 +317,36 @@ def test_flash_attention_s8_matches_xla(rng):
     assert summed_rel(o3, o4) <= 2e-2
 
 
+def test_flash_attention_s8_pv_matches_xla(rng):
+    """s8xs8 P.V (in-kernel p quantize at the exact [0,1] range with
+    quantized-l normalization; mean-centered per-tile int8 v prepass with
+    the mean added back at finalize) must track the f32 reference within
+    the int8 budget — and compose with the s8 QK^T path."""
+    q = jnp.asarray(rng.standard_normal((1, 2, 300, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 300, 128)), jnp.float32)
+    # non-zero v channel means: exercises the centering add-back exactness
+    v = jnp.asarray(rng.standard_normal((1, 2, 300, 128)) + 3.0, jnp.float32)
+    o2 = ops.sdpa_xla(q, k, v)
+    o1 = flash_attention(q, k, v, interpret=True, s8_pv=True)
+    assert summed_rel(o1, o2) <= 2e-2
+    # combined QK^T + P.V int8 stays inside the same budget
+    o3 = flash_attention(q, k, v, interpret=True, s8=True, s8_pv=True)
+    assert summed_rel(o3, o2) <= 2e-2
+    # ragged kv tail masked on the s8_pv path too
+    o4 = flash_attention(q[:, :, :130], k[:, :, :130], v[:, :, :130],
+                         block_q=128, block_k=128, interpret=True,
+                         s8_pv=True)
+    o5 = ops.sdpa_xla(q[:, :, :130], k[:, :, :130], v[:, :, :130])
+    assert summed_rel(o4, o5) <= 2e-2
+    # seq-major output layout composes with s8_pv (the pipeline's default
+    # merged-output path under DIFFUSION_RS_TPU_ATTN_S8PV=1)
+    o6 = flash_attention(q, k, v, interpret=True, s8_pv=True,
+                         out_seqmajor=True)
+    b, h, s, d = o1.shape
+    merged = np.asarray(o1).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    np.testing.assert_allclose(np.asarray(o6), merged, rtol=0, atol=0)
+
+
 def test_flash_attention_seqmajor_output(rng):
     """out_seqmajor writes head column slices of [B, S, H*D]: must equal the
     bhsd kernel output transposed+merged, bit-for-bit (same accumulations,

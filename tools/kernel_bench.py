@@ -11,11 +11,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import pathlib
 import statistics
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def _timeit(fn, *args, iters=20, warmup=3):
@@ -176,16 +179,21 @@ def bench_flash(args):
     flops = 4.0 * b * h * s * s * d
 
     reps = 20
+    s8 = bool(getattr(args, "attn_s8", False))
+    s8_pv = bool(getattr(args, "s8pv", False))
 
     @jax.jit
     def f(q):
         y = q
         for _ in range(reps):  # chained: q := attn(q) defeats CSE
-            y = _flash_call(y, y, y, float(d ** -0.5), args.bq, args.bk, False)
+            y = _flash_call(y, y, y, float(d ** -0.5), args.bq, args.bk,
+                            False, s8=s8, s8_pv=s8_pv)
         return y.sum()
 
     t = _timeit(f, q, iters=5) / reps
-    print(f"flash B{b} H{h} S{s} D{d} bq{args.bq} bk{args.bk}: {flops/t/1e12:.1f} TFLOP/s")
+    tag = ("+s8qk" if s8 else "") + ("+s8pv" if s8_pv else "")
+    print(f"flash{tag} B{b} H{h} S{s} D{d} bq{args.bq} bk{args.bk}: "
+          f"{flops/t/1e12:.1f} TFLOP/s")
 
 
 def main():
@@ -206,6 +214,11 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--bq", type=int, default=512)
     ap.add_argument("--bk", type=int, default=1536)
+    ap.add_argument("--attn-s8", action="store_true",
+                    help="flash: s8 x s8 QK^T (BENCH.md r4 A/B)")
+    ap.add_argument("--s8pv", action="store_true",
+                    help="flash: s8 x s8 P.V (in-kernel p quantize, "
+                         "mean-centered int8 v prepass)")
     args = ap.parse_args()
     if args.cmd == "flash":
         bench_flash(args)
