@@ -109,9 +109,9 @@ def _flash_kernel(
     if _ABLATE == "nomax":
         # fixed max: no running max, no rescale (diagnosis only)
         p = jnp.exp(s - 30.0)
-        l_next = l_scratch[...] + jnp.sum(p, axis=-1, keepdims=True)
-        l_scratch[...] = l_next
         alpha = None
+        m_next = None
+        l_prev = l_scratch[...]
     else:
         m_prev = m_scratch[...]  # [bq, 128] lane-replicated
         l_prev = l_scratch[...]
@@ -122,9 +122,6 @@ def _flash_kernel(
             p = (s - m_next[:, :1]) * 0.001  # multiply instead of exp
         else:
             p = jnp.exp(s - m_next[:, :1])  # [bq, bk]
-        l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
 
     v = v_ref[0, 0]  # [bk, d] (int8 when s8_pv)
     if s8_pv:
@@ -143,22 +140,25 @@ def _flash_kernel(
         )
         sv = sv_ref[pl.program_id(0), pl.program_id(1), kv_i]
         pv = pv_i.astype(jnp.float32) * (sv * (1.0 / 127.0))
-        if _ABLATE != "pvnol":
-            # normalize by the SAME quantized weights the accumulator saw:
-            # sum(round(p*127))/127 instead of sum(p) keeps o an exact convex
-            # combination of v rows (quantization error cancels in o's scale
-            # instead of biasing it).
-            l_scratch[...] = (
-                l_scratch[...]
-                - jnp.sum(p, axis=-1, keepdims=True)
-                + jnp.sum(pq.astype(jnp.float32), axis=-1, keepdims=True)
-                * (1.0 / 127.0)
-            )
+        # l accumulates the SAME quantized weights the accumulator saw:
+        # sum(round(p*127))/127 instead of sum(p) keeps o an exact convex
+        # combination of v rows (quantization error cancels in o's scale
+        # instead of biasing it) — and costs ONE row reduction, same as
+        # the bf16 path's sum(p).
+        l_contrib = jnp.sum(pq.astype(jnp.float32), axis=-1,
+                            keepdims=True) * (1.0 / 127.0)
     else:
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        l_contrib = jnp.sum(p, axis=-1, keepdims=True)
+
+    if alpha is None:
+        l_scratch[...] = l_prev + l_contrib
+    else:
+        l_scratch[...] = l_prev * alpha + l_contrib
+        m_scratch[...] = m_next
     if alpha is None:
         acc_scratch[...] = acc_scratch[...] + pv
     else:
