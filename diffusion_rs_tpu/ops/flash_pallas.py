@@ -111,6 +111,7 @@ def _flash_kernel(
         p = jnp.exp(s - 30.0)
         alpha = None
         m_next = None
+        beta = None
         l_prev = l_scratch[...]
     else:
         m_prev = m_scratch[...]  # [bq, 128] lane-replicated
@@ -118,35 +119,51 @@ def _flash_kernel(
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
         m_next = jnp.maximum(m_prev, m_cur)  # broadcast -> [bq, 128]
         alpha = jnp.exp(m_prev - m_next)  # [bq, 128]
+        # s8_pv references p to THIS block's row max (p in (0, 1] with max
+        # exactly 1 per block) so the int8 grid keeps ~7 bits of relative
+        # precision in EVERY kv block, however far the block sits below the
+        # running max; the block's true weight beta = exp(m_cur - m_next)
+        # is folded back as a per-row f32 scalar into pv and l alike.
+        # Without this, a block 5.5+ logits below the running max quantizes
+        # to all-zeros and its diffuse mass is silently renormalized away
+        # (the ADVICE r4 finding). Same [bq, bk] exp count either way.
+        ref_pt = m_cur if s8_pv else m_next[:, :1]
         if _ABLATE == "noexp":
-            p = (s - m_next[:, :1]) * 0.001  # multiply instead of exp
+            p = (s - ref_pt) * 0.001  # multiply instead of exp
         else:
-            p = jnp.exp(s - m_next[:, :1])  # [bq, bk]
+            p = jnp.exp(s - ref_pt)  # [bq, bk]
+        beta = jnp.exp(m_cur - m_next[:, :1]) if s8_pv else None  # [bq, 1]
 
     v = v_ref[0, 0]  # [bk, d] (int8 when s8_pv)
     if s8_pv:
         # s8 x s8 P.V: unlike QK^T (K = head_dim = 128, pipeline-latency
         # bound — BENCH.md r4), P.V contracts over the kv tile (block_k),
         # so the systolic pipeline is full and the int8 MXU rate can bite.
-        # p = exp(s - m_next) is exactly in [0, 1], so a FIXED 127 scale
+        # p = exp(s - m_cur) is exactly in [0, 1], so a FIXED 127 scale
         # quantizes it with no max pass; v arrives int8 from the XLA
         # prepass (_quantize_v: per-(b,h) mean-centered — exact, the mean
         # is added back at finalize since softmax weights sum to 1 — with
         # one scalar scale per kv tile, halving the v DMA stream).
-        pq = jnp.round(p * 127.0).astype(jnp.int8)
+        # p >= 0, so adding 0.5 and truncating == round-half-up — cheaper on
+        # the VPU than round-half-even, and the int8 cast is the only full
+        # pass over the tile the quantize needs.
+        pq = (p * 127.0 + 0.5).astype(jnp.int8)
         pv_i = jax.lax.dot_general(
             pq, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         sv = sv_ref[pl.program_id(0), pl.program_id(1), kv_i]
-        pv = pv_i.astype(jnp.float32) * (sv * (1.0 / 127.0))
-        # l accumulates the SAME quantized weights the accumulator saw:
-        # sum(round(p*127))/127 instead of sum(p) keeps o an exact convex
-        # combination of v rows (quantization error cancels in o's scale
-        # instead of biasing it) — and costs ONE row reduction, same as
-        # the bf16 path's sum(p).
-        l_contrib = jnp.sum(pq.astype(jnp.float32), axis=-1,
-                            keepdims=True) * (1.0 / 127.0)
+        sv_s = sv * (1.0 / 127.0) if beta is None else beta * (sv / 127.0)
+        pv = pv_i.astype(jnp.float32) * sv_s
+        # l accumulates the SAME quantized weights (x the same beta) the
+        # accumulator saw: sum(pq)*beta/127 instead of sum(p) keeps o an
+        # exact convex combination of v rows (quantization error cancels in
+        # o's scale instead of biasing it). The reduction runs in int32 (VPU
+        # int adds, no f32 convert pass over the tile); only the [bq,1]
+        # result converts.
+        l_q = jnp.sum(pq, axis=-1, keepdims=True,
+                      dtype=jnp.int32).astype(jnp.float32) * (1.0 / 127.0)
+        l_contrib = l_q if beta is None else l_q * beta
     else:
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -236,6 +253,36 @@ def _quantize_v(v, block_k: int):
     sv = jnp.where(av == 0.0, 1.0, av / 127.0)
     vq = jnp.round(vt / sv[..., None, None]).astype(jnp.int8)
     return vq.reshape(b, h, skv_p, d), sv, vm
+
+
+def s8pv_dropped_mass(q, k, scale: Optional[float] = None,
+                      block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+    """Offline diagnostic for the s8_pv path (pure XLA, no kernel): the
+    fraction of true softmax mass truncated to zero by the in-kernel
+    per-block int8 p quantization — keys whose weight relative to their OWN
+    kv block's row max is below the int8 round-up threshold (0.5/127).
+
+    The per-block reference point means a whole block sitting far below the
+    running max contributes at full 7-bit precision (its mass is NOT
+    dropped); what remains is the within-block tail of the sharpest blocks.
+    Used by the adversarial parity test (tests/test_ops.py) and available to
+    tools/validate_real.py for real-checkpoint audits before trusting the
+    s8_pv default on a new model family."""
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhsd,bhtd->bhst", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * jnp.float32(scale)
+    skv = s.shape[-1]
+    skv_p = _round_up(skv, block_k)
+    if skv_p != skv:
+        s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, skv_p - skv)),
+                    constant_values=_NEG_INF)
+    st = s.reshape(*s.shape[:-1], skv_p // block_k, block_k)
+    p_rel = jnp.exp(st - jnp.max(st, axis=-1, keepdims=True))
+    mass = jax.nn.softmax(s, axis=-1).reshape(st.shape)
+    dropped = jnp.sum(jnp.where(p_rel < 0.5 / 127.0, mass, 0.0),
+                      axis=(-1, -2))
+    return dropped  # [b, h, sq] fraction in [0, 1]
 
 
 def _mk_kernel(save_lse: bool, **kw):

@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def ring_attention(q, k, v, axis_name, axis_size, scale, block_q, block_k,
-                   interpret):
+                   interpret, s8=False, s8_pv=False):
     """Ring attention over sequence shards (manual-SPMD body).
 
     q/k/v are the LOCAL shards [b, h, s_local, d] of a self-attention whose
@@ -49,6 +49,11 @@ def ring_attention(q, k, v, axis_name, axis_size, scale, block_q, block_k,
     Memory per chip stays O(s_local); no all-gather materializes the 16k-token
     joint sequence (SURVEY §5 long-context plan; the reference holds the
     whole sequence on one device, models/flux/model.rs:540-546).
+
+    ``s8``/``s8_pv`` run the same int8 QK^T / P.V paths as the single-chip
+    kernel (ADVICE r4: numerics must not differ by topology) — the lse merge
+    stays consistent because each chunk's o is normalized by its OWN
+    (quantized) l, and lse = m + log(l) reports that same l.
     """
     from .flash_pallas import _flash_call
 
@@ -57,7 +62,8 @@ def ring_attention(q, k, v, axis_name, axis_size, scale, block_q, block_k,
     bk = min(block_k, _round_up(s_loc, 128))
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
-    o, lse = _flash_call(q, k, v, scale, bq, bk, interpret, save_lse=True)
+    o, lse = _flash_call(q, k, v, scale, bq, bk, interpret, save_lse=True,
+                         s8=s8, s8_pv=s8_pv)
     o = o.astype(jnp.float32)
 
     def step(carry, _):
@@ -65,7 +71,7 @@ def ring_attention(q, k, v, axis_name, axis_size, scale, block_q, block_k,
         k = jax.lax.ppermute(k, axis_name, perm)
         v = jax.lax.ppermute(v, axis_name, perm)
         o_i, lse_i = _flash_call(q, k, v, scale, bq, bk, interpret,
-                                 save_lse=True)
+                                 save_lse=True, s8=s8, s8_pv=s8_pv)
         lse_new = jnp.logaddexp(lse, lse_i)
         o = (o * jnp.exp(lse - lse_new)[..., None]
              + o_i.astype(jnp.float32) * jnp.exp(lse_i - lse_new)[..., None])
@@ -127,7 +133,8 @@ def make_partitioned_flash(scale: float, block_q: int, block_k: int,
 
             def impl(q, k, v):
                 o = ring_attention(
-                    q, k, v, s_ax, n, scale, block_q, block_k, interpret
+                    q, k, v, s_ax, n, scale, block_q, block_k, interpret,
+                    s8=s8, s8_pv=s8_pv,
                 )
                 if seq_out:
                     b, h, s_loc, d = o.shape

@@ -119,6 +119,11 @@ class FluxServer:
         # 32 entries cost < 150 MiB HBM. 0 disables.
         self.encode_cache = encode_cache
         self._encode_lru: "OrderedDict[tuple, tuple]" = OrderedDict()
+        # Stampede guard (ADVICE r4): a burst of N identical NEW prompts
+        # must pay ONE encode, not N — the first submitter registers an
+        # in-flight Future under the lock; duplicates wait on it instead of
+        # racing the T5/CLIP forward (the exact workload the cache targets).
+        self._encode_inflight: dict = {}
         self._queue: List[_Lane] = []
         self._inflight = 0  # worker-maintained, read under _lock by stats()
         self._lock = threading.Lock()
@@ -180,33 +185,54 @@ class FluxServer:
         )
         ck = (prompt, t5_len)
         cached = None
+        wait_fut = own_fut = None
         if self.encode_cache:
             with self._lock:
                 cached = self._encode_lru.get(ck)
                 if cached is not None:
                     self._encode_lru.move_to_end(ck)
                     self._m["encode_cache_hits"] += 1
+                else:
+                    wait_fut = self._encode_inflight.get(ck)
+                    if wait_fut is None:
+                        own_fut = self._encode_inflight[ck] = Future()
         if cached is not None:
             txt0, y0 = cached
+        elif wait_fut is not None:
+            # another submitter is already encoding this prompt — wait for
+            # its result (counted as a hit: no encode ran on this thread)
+            txt0, y0 = wait_fut.result()
+            with self._lock:
+                self._m["encode_cache_hits"] += 1
         else:
             from .io.tokenizer import tokenize_and_pad
 
-            t5_ids = tokenize_and_pad([prompt], p.t5_tokenizer, pad_to=t5_len)
-            clip_ids = tokenize_and_pad([prompt], p.clip_tokenizer)[:, :77]
-            txt, y = p._encode_jit(
-                p._component("t5", p.t5_params),
-                p._component("clip", p.clip_params),
-                jnp.asarray(t5_ids), jnp.asarray(clip_ids),
-            )
-            txt.block_until_ready()
-            p._release("t5")
-            p._release("clip")
-            txt0, y0 = txt[0], y[0]
-            if self.encode_cache:
+            try:
+                t5_ids = tokenize_and_pad([prompt], p.t5_tokenizer,
+                                          pad_to=t5_len)
+                clip_ids = tokenize_and_pad([prompt], p.clip_tokenizer)[:, :77]
+                txt, y = p._encode_jit(
+                    p._component("t5", p.t5_params),
+                    p._component("clip", p.clip_params),
+                    jnp.asarray(t5_ids), jnp.asarray(clip_ids),
+                )
+                txt.block_until_ready()
+                p._release("t5")
+                p._release("clip")
+                txt0, y0 = txt[0], y[0]
+            except BaseException as e:
+                if own_fut is not None:
+                    with self._lock:
+                        self._encode_inflight.pop(ck, None)
+                    own_fut.set_exception(e)  # waiters retry via submit error
+                raise
+            if own_fut is not None:
                 with self._lock:
                     self._encode_lru[ck] = (txt0, y0)
                     while len(self._encode_lru) > self.encode_cache:
                         self._encode_lru.popitem(last=False)
+                    self._encode_inflight.pop(ck, None)
+                own_fut.set_result((txt0, y0))
         mu = calculate_shift(
             ((params.height + 15) // 16) * ((params.width + 15) // 16),
             p.scheduler.base_image_seq_len, p.scheduler.max_image_seq_len,

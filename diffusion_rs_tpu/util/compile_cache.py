@@ -22,11 +22,17 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from typing import Optional
 
 log = logging.getLogger("diffusion_rs_tpu")
 
 _enabled_dir: Optional[str] = None
+# FluxServer submits from arbitrary threads and Pipeline construction
+# triggers the enable — the check-then-set on the process-global latch must
+# be atomic or two threads could both pass the None check and issue
+# conflicting jax.config.update calls (ADVICE r4).
+_lock = threading.Lock()
 
 
 def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
@@ -42,24 +48,26 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     if not d:
         return _enabled_dir
     d = os.path.abspath(os.path.expanduser(d))
-    if _enabled_dir is not None:
-        if d != _enabled_dir:
-            log.warning(
-                "compile cache already enabled at %s; ignoring %s "
-                "(jax_compilation_cache_dir is process-global)",
-                _enabled_dir,
-                d,
-            )
-        return _enabled_dir
-    import jax
+    with _lock:
+        if _enabled_dir is not None:
+            if d != _enabled_dir:
+                log.warning(
+                    "compile cache already enabled at %s; ignoring %s "
+                    "(jax_compilation_cache_dir is process-global)",
+                    _enabled_dir,
+                    d,
+                )
+            return _enabled_dir
+        import jax
 
-    os.makedirs(d, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", d)
-    # Cache every entry: the pipeline's stages are few and large, so there
-    # is no small-entry churn to filter, and the tiny helper graphs (pack/
-    # unpack, scheduler) are exactly what a restarting server re-traces.
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    _enabled_dir = d
-    log.info("persistent XLA compilation cache: %s", d)
-    return _enabled_dir
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # Cache every entry: the pipeline's stages are few and large, so
+        # there is no small-entry churn to filter, and the tiny helper
+        # graphs (pack/unpack, scheduler) are exactly what a restarting
+        # server re-traces.
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        _enabled_dir = d
+        log.info("persistent XLA compilation cache: %s", d)
+        return _enabled_dir

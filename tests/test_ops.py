@@ -347,6 +347,73 @@ def test_flash_attention_s8_pv_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(o6), merged, rtol=0, atol=0)
 
 
+def test_flash_attention_s8_pv_diffuse_tail(rng):
+    """ADVICE r4 (medium): at-scale adversarial parity for s8_pv — one sharp
+    logit plus a heavy diffuse tail (~6 logits down, > 90% of the true
+    softmax mass) across the full FLUX kv length S=4608.
+
+    The kernel quantizes p relative to each kv BLOCK's own row max, so a
+    whole block sitting far below the running max keeps its mass at full
+    7-bit precision (under the round-4 fixed-global scale it quantized to
+    all-zeros and its mass was silently renormalized away). What remains
+    truncated is the within-block tail of the block holding the sharp key —
+    exactly what s8pv_dropped_mass predicts, and the kernel's error must
+    track that prediction rather than blow past it."""
+    from diffusion_rs_tpu.ops.flash_pallas import s8pv_dropped_mass
+
+    S, d = 4608, 128
+    # logits are read straight off k[..., 0]: q = sqrt(d) * e0, so that
+    # scale * (q . k_j) == k_j[0]
+    q = np.zeros((1, 1, 256, d), np.float32)
+    q[..., 0] = float(d) ** 0.5
+    v = rng.standard_normal((1, 1, S, d)).astype(np.float32)
+    v[:, :, 0] += 5.0  # the sharp key's v is distinctive
+
+    # Case 1: the diffuse tail lives in OTHER kv blocks than the sharp key
+    # (block 0: sharp at index 0, rest at -30 ≈ zero mass even exactly;
+    # blocks 1-2: all keys at -6 -> 87% of the true mass). The per-block
+    # scale must preserve essentially all of it.
+    k1 = np.full((1, 1, S, d), 0.0, np.float32)
+    k1[:, :, :, 0] = -6.0
+    k1[:, :, 0, 0] = 0.0
+    k1[:, :, 1:1536, 0] = -30.0
+    qj, k1j, vj = jnp.asarray(q), jnp.asarray(k1), jnp.asarray(v)
+    dropped1 = float(s8pv_dropped_mass(qj, k1j).max())
+    assert dropped1 <= 1e-3, dropped1  # diagnostic: below-max blocks kept
+    o1 = flash_attention(qj, k1j, vj, interpret=True, s8_pv=True)
+    ref1 = ops.sdpa_xla(qj, k1j, vj)
+    assert summed_rel(o1, ref1) <= 2e-2  # the r4 fixed-global scale: ~1.0
+
+    # Case 2: sharp key and diffuse tail SHARE a block — the inherent int8
+    # truncation case. The diagnostic predicts the dropped fraction (~0.3
+    # by construction) and the kernel error must stay within it: the error
+    # is a renormalization among true softmax mass, never a blowup.
+    k2 = np.full((1, 1, S, d), 0.0, np.float32)
+    k2[:, :, :, 0] = -6.0
+    k2[:, :, 0, 0] = 0.0
+    k2j = jnp.asarray(k2)
+    dropped2 = float(s8pv_dropped_mass(qj, k2j).max())
+    assert 0.1 <= dropped2 <= 0.5, dropped2  # the construction is harsh
+    o2 = flash_attention(qj, k2j, vj, interpret=True, s8_pv=True)
+    ref2 = ops.sdpa_xla(qj, k2j, vj)
+    # dropping mass fraction d renormalizes the survivors by 1/(1-d):
+    # |o' - o| <= d/(1-d) * |o_surv| + |o_drop| <= 2 d/(1-d) * |o|-scale
+    # (measured here: 0.44 ~= d/(1-d), the o_drop term ~0 for zero-mean v)
+    assert summed_rel(o2, ref2) <= 2 * dropped2 / (1 - dropped2) + 0.05
+
+    # Case 3: realistic magnitudes at full FLUX scale (bf16 N(0, 0.3) q/k —
+    # the smoke_tpu distribution) must stay inside the standard quantized
+    # budget, with negligible predicted truncation.
+    q3 = jnp.asarray(rng.standard_normal((1, 1, 512, d)) * 0.3, jnp.bfloat16)
+    k3 = jnp.asarray(rng.standard_normal((1, 1, S, d)) * 0.3, jnp.bfloat16)
+    v3 = jnp.asarray(rng.standard_normal((1, 1, S, d)) * 0.3, jnp.bfloat16)
+    dropped3 = float(s8pv_dropped_mass(q3, k3).max())
+    assert dropped3 <= 2e-2, dropped3
+    o3 = flash_attention(q3, k3, v3, interpret=True, s8_pv=True)
+    ref3 = ops.sdpa_xla(q3, k3, v3)
+    assert summed_rel(o3, ref3) <= 2e-2
+
+
 def test_flash_attention_seqmajor_output(rng):
     """out_seqmajor writes head column slices of [B, S, H*D]: must equal the
     bhsd kernel output transposed+merged, bit-for-bit (same accumulations,

@@ -57,6 +57,30 @@ def test_flash_ring_seq_sharded(mesh, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_flash_ring_seq_sharded_s8_pv(mesh, rng):
+    """ADVICE r4: the int8 attention paths must not silently revert to bf16
+    under sequence sharding — ring attention plumbs s8/s8_pv through to each
+    chunk's kernel, and the lse merge stays consistent because each chunk's
+    o is normalized by its own quantized l."""
+    q = jnp.asarray(rng.standard_normal((2, 2, 512, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 512, 128)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 512, 128)) + 2.0, jnp.float32)
+    ref = sdpa_xla(q, k, v)
+    sh = NamedSharding(mesh, P("dp", None, "tp", None))
+    qs, ks, vs = (jax.device_put(a, sh) for a in (q, k, v))
+    for s8, s8_pv in ((True, False), (False, True), (True, True)):
+        fa = make_partitioned_flash(float(128 ** -0.5), 128, 128, True,
+                                    s8, False, s8_pv)
+        with jax.sharding.set_mesh(mesh):
+            fn = jax.jit(lambda a, b, c: fa(a, b, c))
+            hlo = fn.lower(qs, ks, vs).compile().as_text()
+            out = fn(qs, ks, vs)
+        assert "collective-permute" in hlo  # still the ring, not a fallback
+        # int8 budget (the single-chip parity band, tests/test_ops.py)
+        rel = float(jnp.abs(out - ref).sum() / jnp.abs(ref).sum())
+        assert rel <= 2e-2, (s8, s8_pv, rel)
+
+
 def test_flash_ring_uneven_seq_falls_back(mesh, rng):
     """Seq not divisible by the axis -> seq-replicated per-shard kernels
     (still correct, no crash)."""

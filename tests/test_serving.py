@@ -295,6 +295,46 @@ def test_server_encode_cache(pipe):
         server.shutdown()
 
 
+def test_server_encode_stampede(pipe, monkeypatch):
+    """ADVICE r4: a burst of N concurrent submits of the same NEW prompt
+    pays ONE encode — the first submitter registers an in-flight future,
+    the duplicates wait on it (counted as hits) and produce identical
+    lanes."""
+    inner = pipe._inner
+    calls = []
+    orig = inner._encode_jit
+
+    def counting(*a, **kw):
+        calls.append(1)
+        time.sleep(0.05)  # widen the race window
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(inner, "_encode_jit", counting)
+    server = FluxServer(inner, max_batch=4, encode_cache=4)
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(4) as ex:
+            futs = [
+                ex.submit(
+                    lambda: server.submit(
+                        "burst prompt", _params(2, 9)
+                    ).result(timeout=600)
+                )
+                for _ in range(4)
+            ]
+            outs = [f.result(timeout=600) for f in futs]
+        assert len(calls) == 1, f"{len(calls)} encodes for 4 identical submits"
+        assert server.stats()["encode_cache_hits"] == 3
+        # lanes share (txt, y, seed) but may ride forwards with different
+        # batch compositions (arrival timing), so pixels match only within
+        # float-rounding of the batched step — not bit-exact
+        for o in outs[1:]:
+            assert np.abs(outs[0].astype(int) - o.astype(int)).max() <= 8
+    finally:
+        server.shutdown()
+
+
 def test_server_encode_cache_disabled(pipe):
     server = FluxServer(pipe._inner, max_batch=1, encode_cache=0)
     try:
