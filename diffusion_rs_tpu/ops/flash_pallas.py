@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1536
 _NEG_INF = -1e30
+_LOG127 = 4.844187086458591  # ln(127): folds the int8 scale into the exp
 
 # Perf-DIAGNOSIS ablations (WRONG RESULTS — never set in production):
 #   noexp  — replace the softmax exp with a multiply (isolates the VPU
@@ -127,11 +128,16 @@ def _flash_kernel(
         # Without this, a block 5.5+ logits below the running max quantizes
         # to all-zeros and its diffuse mass is silently renormalized away
         # (the ADVICE r4 finding). Same [bq, bk] exp count either way.
-        ref_pt = m_cur if s8_pv else m_next[:, :1]
+        # s8_pv folds the x127 quantize scale INTO the exp argument:
+        # exp(s - (m_cur - log 127)) == 127 * exp(s - m_cur), so the int8
+        # grid value comes straight out of the exp with NO extra [bq, bk]
+        # multiply pass (the quantize then costs only the +0.5 round bias
+        # and the int8 cast — and the bf16 path pays a cast on p too).
+        ref_pt = (m_cur - _LOG127) if s8_pv else m_next[:, :1]
         if _ABLATE == "noexp":
             p = (s - ref_pt) * 0.001  # multiply instead of exp
         else:
-            p = jnp.exp(s - ref_pt)  # [bq, bk]
+            p = jnp.exp(s - ref_pt)  # [bq, bk]; in [0, 127] when s8_pv
         beta = jnp.exp(m_cur - m_next[:, :1]) if s8_pv else None  # [bq, 1]
 
     v = v_ref[0, 0]  # [bk, d] (int8 when s8_pv)
@@ -145,9 +151,13 @@ def _flash_kernel(
         # is added back at finalize since softmax weights sum to 1 — with
         # one scalar scale per kv tile, halving the v DMA stream).
         # p >= 0, so adding 0.5 and truncating == round-half-up — cheaper on
-        # the VPU than round-half-even, and the int8 cast is the only full
-        # pass over the tile the quantize needs.
-        pq = (p * 127.0 + 0.5).astype(jnp.int8)
+        # the VPU than round-half-even. p already carries the x127 scale
+        # (folded into the exp argument above), so the quantize is just the
+        # round bias + the int8 cast — the bf16 path pays a cast on p too.
+        if beta is None:  # nomax diagnosis path: p is unscaled there
+            pq = (p * 127.0 + 0.5).astype(jnp.int8)
+        else:
+            pq = (p + 0.5).astype(jnp.int8)
         pv_i = jax.lax.dot_general(
             pq, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,

@@ -58,8 +58,12 @@ def random_qtensor(
         # TPU-native int8 execution format: unpacked s8 plane, one scale per
         # (K-tile, column) with group == kernel K-tile (quant/qtensor.py
         # quantize_q8_tile), which routes ops/linear through the s8 x s8 MXU
-        # path of the fused kernel.
+        # path of the fused kernel. Real FLUX dims are all 256-divisible;
+        # tiny test configs (e.g. k = h+m = 640) halve the group until it
+        # divides, mirroring no real checkpoint but keeping dequant exact.
         g = min(256, k)
+        while k % g:
+            g //= 2
         packed = jnp.asarray(
             _pool_u8(lead + (k, n), key).view(np.int8)
         )
