@@ -110,8 +110,15 @@ def _s8_pv_default() -> bool:
     return _S8PV_MEASURED_DEFAULT
 
 
-# Pending the round-4 on-chip A/B (tools/kernel_bench.py flash --s8pv +
-# step-mode bench with DIFFUSION_RS_TPU_ATTN_S8PV=1) — off until measured.
+# Set from the round-5 on-chip A/B (BENCH.md r5): kernel-level s8_pv runs
+# 63-65 vs bf16's 78 TFLOP/s and the north-star step regresses 437 -> 474 ms
+# (+8.5%). The int8 MXU rate never bites: P.V's output dim is N = head_dim
+# = 128 (one MXU tile wide), and the in-kernel f32->int8 quantize pass +
+# int32 plumbing cost more than the halved v DMA saves — folding the x127
+# scale into the exp argument (zero-cost quantize multiply) measured the
+# same 63.3, pinning the cost on the cast/int8 data path, not the quantize
+# arithmetic. REJECTED as default; stays available (accuracy-hardened with
+# the per-block p scale) for parts with wider MXU int8 tiles.
 _S8PV_MEASURED_DEFAULT = False
 
 

@@ -166,6 +166,35 @@ def test_isq_requantizes_prequantized_checkpoint(tmp_path, monkeypatch):
     assert np.abs(ia - ib).mean() < 8.0, np.abs(ia - ib).mean()
 
 
+def test_int8_attention_e2e_band(ckpt, pipe, monkeypatch):
+    """E2e numeric band for the int8 attention paths (VERDICT r4 next #1):
+    a fresh pipeline with DIFFUSION_RS_TPU_ATTN_S8=1 + S8PV=1 through the
+    interpret-mode flash kernel must stay visually identical to the default
+    XLA-attention output — the mean |Δu8| pattern used for the q8t band.
+    (A fresh Pipeline is required: the env toggles act at trace time, and a
+    shared pipeline's jitted graphs would not retrace.)"""
+    from diffusion_rs_tpu.ops import attention
+
+    base = np.asarray(pipe.forward_images(["a photo"], PARAMS)[0], np.float32)
+    monkeypatch.setenv("DIFFUSION_RS_TPU_FLASH", "interpret")
+    monkeypatch.setenv("DIFFUSION_RS_TPU_ATTN_S8", "1")
+    monkeypatch.setenv("DIFFUSION_RS_TPU_ATTN_S8PV", "1")
+    attention._flash_mode.cache_clear()
+    attention._s8_default.cache_clear()
+    attention._s8_pv_default.cache_clear()
+    try:
+        p2 = Pipeline(ModelSource.from_model_id(str(ckpt)), silent=True)
+        int8 = np.asarray(
+            p2.forward_images(["a photo"], PARAMS)[0], np.float32
+        )
+    finally:
+        attention._flash_mode.cache_clear()
+        attention._s8_default.cache_clear()
+        attention._s8_pv_default.cache_clear()
+    d = np.abs(base - int8)
+    assert d.mean() < 8.0 and d.max() <= 64, (d.mean(), d.max())
+
+
 def test_dev_model_guidance_and_dynamic_shift(tmp_path):
     """Dev-style checkpoint: guidance embedder + dynamic mu shift + 512-token
     T5 pad; guidance scale changes the output (flux/mod.rs:297-315)."""
@@ -594,6 +623,36 @@ def test_mesh_tp_q8t_capacity_and_parity(ckpt, monkeypatch, caplog):
     )
     diff = np.abs(np.asarray(a[0], np.float32) - np.asarray(b[0], np.float32))
     assert diff.mean() < 1.0 and diff.max() <= 16, (diff.mean(), diff.max())
+
+
+def test_mesh_tp_clears_weights_alone_valueerror(ckpt, monkeypatch):
+    """The dev-2048+q8t capacity route at test scale (VERDICT r4 next #3):
+    a budget the packed q8t weights ALONE exceed raises the routed
+    ValueError on a single device — that failure is certain, not an
+    estimate — and the SAME budget on a tp=4 mesh executes end-to-end
+    (per-chip residency w/tp; the activation estimate may still warn, but
+    the run must succeed)."""
+    import jax
+    from diffusion_rs_tpu.parallel import make_mesh
+    from diffusion_rs_tpu.util.capacity import tree_device_bytes
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    single = Pipeline(ModelSource.from_model_id(str(ckpt)), silent=True,
+                      isq="q8t")
+    w = tree_device_bytes(single._inner.flux_params)
+    monkeypatch.setenv("DIFFUSION_RS_TPU_HBM_BYTES", str(w - 1))
+    params = DiffusionGenerationParams(
+        height=64, width=48, num_steps=2, guidance_scale=0.0, seed=13
+    )
+    with pytest.raises(ValueError, match="tensor-parallel mesh"):
+        single.forward_images(["a photo"], params)
+    mesh = make_mesh(tp=4, devices=jax.devices()[:4])
+    sharded = Pipeline(ModelSource.from_model_id(str(ckpt)), silent=True,
+                       isq="q8t", mesh=mesh)
+    imgs = sharded.forward_images(["a photo"], params)
+    assert np.asarray(imgs[0]).shape == (64, 48, 3)
+    assert np.isfinite(np.asarray(imgs[0], np.float32)).all()
 
 
 def test_img2img_tiled_encode_smoke(pipe, monkeypatch):
