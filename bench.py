@@ -211,7 +211,10 @@ def bench_image(args, preset) -> int:
                 kind="q8t" if impl_sel == "q8t" else "nf4",
             )
             with enc_ctx:
-                t5_params = init_t5_params_quantized(ks[1], t5_cfg, dtype)
+                t5_params = init_t5_params_quantized(
+                    ks[1], t5_cfg, dtype,
+                    kind="q8t" if args.t5_impl == "q8t" else "nf4",
+                )
         else:
             flux_params = init_flux_params(ks[0], flux_cfg, dtype)
             with enc_ctx:
@@ -221,6 +224,8 @@ def bench_image(args, preset) -> int:
     flux_params, flux_cfg = _maybe_rope_fused(flux_params, flux_cfg)
     b = preset["batch"] if preset else args.batch
     impl = args.impl if not args.small else "dense-small"
+    if getattr(args, "t5_impl", "q4") == "q8t":
+        impl += "+t5q8t"
 
     offload = None
     if not args.small and preset and preset.get("offload_encoders"):
@@ -642,6 +647,11 @@ def main():
     # nf4 exec step (BENCH.md r3). Passing --impl explicitly overrides
     # the preset (e.g. `--preset dev-2048 --impl q8t`).
     ap.add_argument("--impl", choices=["q4", "q8t", "dense"], default=None)
+    # T5 encode exec format (VERDICT r4 next #5 A/B). Default q4 (nf4):
+    # T5-q8t (~4.8 GB) does NOT fit beside FLUX-q8t (~12.1 GB) on a 16 GiB
+    # chip — the library's isq_t5 capacity guard makes the same call — so
+    # the A/B config is FLUX-nf4 + T5-q8t (fits at ~10.8 GB).
+    ap.add_argument("--t5-impl", choices=["q4", "q8t"], default="q4")
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--preset", choices=list(PRESETS), default=None,

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--isq", choices=list(_ISQ), default=None,
                    help="in-situ quantize dense transformer + T5 linears "
                         "(full reference IsqType set + nf4/fp4/q8t)")
+    p.add_argument("--isq-t5", choices=list(_ISQ), default=None,
+                   help="override the T5 encoder's ISQ format (default: "
+                        "follow --isq, capacity-guarded — see Pipeline)")
     p.add_argument("--imatrix", default=None, metavar="FILE",
                    help="importance-matrix file (llama.cpp format) for "
                         "error-minimizing --isq; keys are dotted param paths")
@@ -103,6 +106,7 @@ def main(argv=None) -> int:
         offloading={"full": Offloading.Full, "stream": Offloading.Stream}.get(args.offloading),
         dtype=ModelDType(args.dtype),
         isq=args.isq,
+        isq_t5=args.isq_t5,
         imatrix=args.imatrix,
         lora=args.lora,
         lora_scale=(

@@ -89,6 +89,7 @@ class Pipeline:
         offloading: Optional[Offloading] = None,
         dtype: ModelDType = ModelDType.Auto,
         isq: Optional[str] = None,
+        isq_t5: Optional[str] = None,
         imatrix: Optional[str] = None,
         lora: Union[str, Sequence[str], None] = None,
         lora_scale: Union[float, Sequence[float]] = 1.0,
@@ -103,6 +104,13 @@ class Pipeline:
         llama.cpp-format importance-matrix file; with ``isq`` set, matched
         linears get importance-weighted (error-minimizing) quantization
         (quantize_imatrix equivalent, quantized/mod.rs:110).
+
+        ``isq_t5``: per-component override for the T5 encoder's format.
+        Default (None) follows ``isq`` with a capacity guard: if the
+        combined resident footprint would exceed per-chip HBM (e.g.
+        FLUX-q8t + T5-XXL-q8t on a 16 GiB v5e), T5 keeps its smaller
+        current format and a warning names this knob. Pass a format to
+        force it (e.g. isq_t5="q8t").
 
         ``lora``: path to a FLUX LoRA safetensors file (diffusers-PEFT,
         kohya-suffix, or sd-scripts BFL naming), or a LIST of paths applied
@@ -140,6 +148,7 @@ class Pipeline:
             offloading=offloading,
             dtype=dtype,
             isq=isq,
+            isq_t5=isq_t5,
             imatrix=imatrix,
             lora=lora,
             lora_scale=lora_scale,

@@ -94,6 +94,7 @@ def load_pipeline(
     offloading: Optional[Offloading] = None,
     dtype: ModelDType = ModelDType.Auto,
     isq: Optional[str] = None,
+    isq_t5: Optional[str] = None,
     imatrix: Optional[str] = None,
     lora: Union[str, Sequence[str], None] = None,
     lora_scale: Union[float, Sequence[float]] = 1.0,
@@ -235,13 +236,50 @@ def load_pipeline(
             # otherwise cancel the HBM savings the q4 capacity configs
             # depend on. CLIP stays dense (123M params; pooled conditioning
             # is small and quality-sensitive).
-            t5_params = isq_tree(t5_params, isq, imatrix=imat)
+            #
+            # Per-component format choice is the LIBRARY's job (the same
+            # stance as the q8t exec auto-dispatch, reference analogue
+            # diffusion_rs_backend/src/lib.rs:197-217): ``isq_t5`` defaults
+            # to following ``isq``, EXCEPT when the combined resident
+            # footprint would blow per-chip HBM — e.g. FLUX-q8t (~12.1 GB)
+            # + T5-XXL-q8t (~4.8 GB) exceeds a 16 GiB v5e, while T5-nf4
+            # (~2.4 GB) fits beside it. In that case T5 keeps the SMALLER
+            # of (its current format, the requested target), with a
+            # warning naming the override knob. Offloaded/streamed builds
+            # skip the guard: encoder weights are not chip-resident there.
+            t5_target = isq_t5 if isq_t5 is not None else isq
+            if isq_t5 is None and offloading is None:
+                from ..util.capacity import (
+                    estimate_isq_tree_bytes,
+                    per_chip_hbm_bytes,
+                    tree_device_bytes,
+                )
+                from ..util.tracing import warn_once
+
+                tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+                budget = int(0.92 * per_chip_hbm_bytes())  # 8% headroom
+                flux_b = tree_device_bytes(flux_params) // max(1, tp)
+                t5_now = tree_device_bytes(t5_params) // max(1, tp)
+                t5_isq = estimate_isq_tree_bytes(t5_params, isq) // max(1, tp)
+                if flux_b + t5_isq > budget and t5_now < t5_isq:
+                    warn_once(
+                        "isq-t5-capacity",
+                        f"isq='{isq}' would put T5 at ~{t5_isq / 1e9:.1f} GB "
+                        f"beside {flux_b / 1e9:.1f} GB transformer weights — "
+                        f"over the {budget / 1e9:.1f} GB per-chip budget; "
+                        "keeping T5 in its current (smaller) format. Pass "
+                        "isq_t5= to force, or shard with a tp mesh.",
+                    )
+                    t5_target = None
+            if t5_target:
+                t5_params = isq_tree(t5_params, t5_target, imatrix=imat)
             if not silent:
                 log.info(
-                    "applied ISQ (%s%s) to transformer + T5 linears "
+                    "applied ISQ (%s%s) to transformer%s linears "
                     "(pre-quantized weights are requantized via host "
                     "dequantize when their format differs)", isq,
                     ", imatrix-weighted" if imat else "",
+                    f" + T5 ({t5_target})" if t5_target else " (T5 kept)",
                 )
         if lora:
             # after ISQ: quantized bases get the runtime low-rank term, so

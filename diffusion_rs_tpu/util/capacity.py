@@ -53,29 +53,95 @@ def per_chip_hbm_bytes() -> int:
     return _DEFAULT_HBM
 
 
+def leaf_bytes_of(x) -> int:
+    """Device bytes of one leaf: dense leaves report nbytes; QuantizedTensor
+    leaves report their PACKED residency (packed + scale + bias + codebook —
+    what actually sits in HBM with the fused kernels)."""
+    if isinstance(x, QuantizedTensor):
+        b = x.packed.size * x.packed.dtype.itemsize
+        b += x.scale.size * 4
+        if x.bias is not None:
+            b += x.bias.size * 4
+        if x.codebook is not None:
+            b += x.codebook.size * 4
+        return b
+    if hasattr(x, "nbytes"):
+        return int(x.nbytes)
+    return 0
+
+
 def tree_device_bytes(params) -> int:
-    """Total device bytes of a param tree: dense leaves report nbytes;
-    QuantizedTensor leaves report their PACKED residency (packed + scale +
-    bias + codebook — what actually sits in HBM with the fused kernels)."""
+    """Total device bytes of a param tree (see :func:`leaf_bytes_of`)."""
     total = 0
-
-    def leaf_bytes(x) -> int:
-        if isinstance(x, QuantizedTensor):
-            b = x.packed.size * x.packed.dtype.itemsize
-            b += x.scale.size * 4
-            if x.bias is not None:
-                b += x.bias.size * 4
-            if x.codebook is not None:
-                b += x.codebook.size * 4
-            return b
-        if hasattr(x, "nbytes"):
-            return int(x.nbytes)
-        return 0
-
     for leaf in jax.tree.leaves(
         params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
     ):
-        total += leaf_bytes(leaf)
+        total += leaf_bytes_of(leaf)
+    return total
+
+
+# Approximate per-element residency of each ISQ target in the CANONICAL
+# QuantizedTensor layout (packed codes + f32 scale per group, + f32 bias for
+# the affine formats). Used only for capacity ROUTING decisions before a
+# requantize is performed, never for allocation.
+_ISQ_BITS = {
+    "q8t": 8.0 + 32.0 / 256, "q8_0": 8.0 + 32.0 / 32,
+    "nf4": 4.0 + 32.0 / 64, "fp4": 4.0 + 32.0 / 64,
+    "q4_0": 4.0 + 32.0 / 32, "q4_1": 4.0 + 64.0 / 32,
+    "q5_0": 5.0 + 32.0 / 32, "q5_1": 5.0 + 64.0 / 32,
+    "q2_k": 2.0 + 32.0 / 16, "q3_k": 3.0 + 32.0 / 16,
+    "q4_k": 4.0 + 64.0 / 32, "q5_k": 5.0 + 64.0 / 32,
+    "q6_k": 6.0 + 32.0 / 16,
+}
+
+
+def estimate_isq_tree_bytes(params, target: str,
+                            min_features: Optional[int] = None) -> int:
+    """Estimate what a param tree would occupy AFTER ``isq_tree(params,
+    target)``: Linear weights that ISQ would touch (both dims >=
+    ``min_features``, quant/isq.py) are costed at the target format's
+    per-element bits (_ISQ_BITS); everything else keeps its current bytes.
+    Lets the loader route per-component format choices (e.g. keep T5 nf4
+    beside a q8t FLUX on a 16 GiB chip) WITHOUT paying the host
+    dequantize+requantize just to discover the result doesn't fit."""
+    from ..ops.linear import Linear
+
+    if min_features is None:  # match isq_tree's gate (quant/isq.py)
+        min_features = int(os.environ.get("DIFFUSION_RS_TPU_ISQ_MIN", "512"))
+    bits = _ISQ_BITS.get(target, 9.0)  # unknown targets: conservative
+    total = 0
+
+    def visit(node):
+        nonlocal total
+        if isinstance(node, Linear):
+            w = node.w
+            shape = w.shape if isinstance(w, QuantizedTensor) else tuple(
+                w.shape
+            )
+            k, n = shape[-2], shape[-1]
+            stack = 1
+            if isinstance(w, QuantizedTensor):
+                if w.packed.ndim > 2:
+                    stack = int(w.packed.shape[0])
+            elif w.ndim > 2:
+                stack = int(w.shape[0])
+            if k >= min_features and n >= min_features:
+                total += int(stack * k * n * bits / 8)
+            else:
+                total += leaf_bytes_of(w)
+            if node.b is not None:
+                total += int(node.b.nbytes)
+            return node
+        if isinstance(node, QuantizedTensor):
+            total += leaf_bytes_of(node)
+        elif hasattr(node, "nbytes"):
+            total += int(node.nbytes)
+        return node
+
+    jax.tree.map(
+        visit, params,
+        is_leaf=lambda x: isinstance(x, (Linear, QuantizedTensor)),
+    )
     return total
 
 

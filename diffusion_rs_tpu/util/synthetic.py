@@ -96,16 +96,20 @@ def random_qtensor(
     )
 
 
-def init_t5_params_quantized(key, cfg, dtype=jnp.bfloat16):
-    """T5 encoder params with every block linear nf4-quantized (the Q4 DDUF
-    recipe quantizes text_encoder_2 alongside the transformer). Embedding,
+def init_t5_params_quantized(key, cfg, dtype=jnp.bfloat16, kind="nf4"):
+    """T5 encoder params with every block linear quantized (the Q4 DDUF
+    recipe quantizes text_encoder_2 alongside the transformer); ``kind`` is
+    "nf4" (default) or "q8t" (the isq_t5="q8t" load path). Embedding,
     relative-position bias and norms stay dense."""
     L = cfg.num_layers
     inner = cfg.num_heads * cfg.d_kv
     keys = iter(jax.random.split(key, 16))
 
     def qlin(k_in, n_out):
-        return Linear(w=random_qtensor(next(keys), k_in, n_out, stack=L), b=None)
+        return Linear(
+            w=random_qtensor(next(keys), k_in, n_out, kind=kind, stack=L),
+            b=None,
+        )
 
     ff = (
         {"wi_0": qlin(cfg.d_model, cfg.d_ff), "wi_1": qlin(cfg.d_model, cfg.d_ff),

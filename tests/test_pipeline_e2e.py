@@ -166,6 +166,63 @@ def test_isq_requantizes_prequantized_checkpoint(tmp_path, monkeypatch):
     assert np.abs(ia - ib).mean() < 8.0, np.abs(ia - ib).mean()
 
 
+def test_isq_t5_capacity_guard(tmp_path, monkeypatch):
+    """Per-component ISQ routing (VERDICT r4 next #5): isq='q8t' follows to
+    T5 when HBM allows, but when transformer-q8t + T5-q8t would exceed the
+    per-chip budget (the real FLUX case: 12.1 + 4.8 GB > 16 GiB v5e) the
+    loader keeps T5 in its smaller current format; isq_t5= forces."""
+    import jax
+
+    from diffusion_rs_tpu.quant.qtensor import QuantizedTensor
+    from diffusion_rs_tpu.util.capacity import (
+        estimate_isq_tree_bytes,
+        tree_device_bytes,
+    )
+
+    def t5_kinds(p):
+        return {
+            x.kind for x in jax.tree.leaves(
+                p._inner.t5_params,
+                is_leaf=lambda x: isinstance(x, QuantizedTensor),
+            ) if isinstance(x, QuantizedTensor)
+        }
+
+    monkeypatch.setenv("DIFFUSION_RS_TPU_ISQ_MIN", "8")
+    nf4_root = write_checkpoint(tmp_path / "q", seed=0, quant="nf4")
+    # generous budget: T5 follows isq to q8t
+    monkeypatch.setenv("DIFFUSION_RS_TPU_HBM_BYTES", str(1 << 40))
+    rich = Pipeline(ModelSource.from_model_id(str(nf4_root)), silent=True,
+                    isq="q8t")
+    assert t5_kinds(rich) == {"q8t"}
+    # Keep-branch: requires requant-would-GROW-T5 + over budget. At REAL
+    # T5-XXL dims q8t (8.125 bits/elem) > nf4 (4.5), but the tiny synthetic
+    # dims invert that (nf4's per-group scale overhead dominates), so the
+    # test exaggerates the q8t estimate entry to recreate the real-scale
+    # relation and exercise the routing.
+    from diffusion_rs_tpu.util import capacity
+
+    monkeypatch.setitem(capacity._ISQ_BITS, "q8t", 4096.0)
+    flux_b = tree_device_bytes(rich._inner.flux_params)
+    t5_est = estimate_isq_tree_bytes(rich._inner.t5_params, "q8t")
+    monkeypatch.setenv("DIFFUSION_RS_TPU_HBM_BYTES", str(flux_b + t5_est))
+    tight = Pipeline(ModelSource.from_model_id(str(nf4_root)), silent=True,
+                     isq="q8t")
+    # T5 keeps its current format (dense here — the tiny checkpoint's T5
+    # sits under bnb's block size, so quant="nf4" leaves it unquantized)
+    assert t5_kinds(tight) == set()
+    flux_kinds = {
+        x.kind for x in jax.tree.leaves(
+            tight._inner.flux_params,
+            is_leaf=lambda x: isinstance(x, QuantizedTensor),
+        ) if isinstance(x, QuantizedTensor)
+    }
+    assert flux_kinds == {"q8t"}
+    # explicit isq_t5 overrides the guard at the same tight budget
+    forced = Pipeline(ModelSource.from_model_id(str(nf4_root)), silent=True,
+                      isq="q8t", isq_t5="q8t")
+    assert t5_kinds(forced) == {"q8t"}
+
+
 def test_int8_attention_e2e_band(ckpt, pipe, monkeypatch):
     """E2e numeric band for the int8 attention paths (VERDICT r4 next #1):
     a fresh pipeline with DIFFUSION_RS_TPU_ATTN_S8=1 + S8PV=1 through the
