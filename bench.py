@@ -393,6 +393,44 @@ def bench_serve(args, preset) -> int:
     )
     gp = DiffusionGenerationParams(
         height=res, width=res, num_steps=steps, guidance_scale=0.0, seed=1)
+
+    if getattr(args, "serve_workload", "mixed") == "lru":
+        # Prompt-LRU benefit row (VERDICT r4 next #6): the bursty-gallery
+        # workload the cache targets — n_req requests over 2 unique prompts.
+        # Baseline is the SAME server with the cache disabled, so the row
+        # isolates the encode-skip win from the batching win.
+        lru_prompts = [f"popular prompt {i % 2}" for i in range(n_req)]
+
+        def run_lru(cache_size: int):
+            server = FluxServer(
+                pipe, max_batch=args.batch if args.batch > 1 else 4,
+                encode_cache=cache_size)
+            try:
+                [f.result() for f in
+                 [server.submit(p, gp) for p in lru_prompts]]  # warm
+                h0 = server.stats()["encode_cache_hits"]
+                t0 = time.perf_counter()
+                [f.result() for f in
+                 [server.submit(p, gp) for p in lru_prompts]]
+                dt = time.perf_counter() - t0
+                hits = server.stats()["encode_cache_hits"] - h0
+            finally:
+                server.shutdown()
+            return dt, hits
+
+        t_off, _ = run_lru(0)
+        t_on, hits = run_lru(32)
+        print(json.dumps({
+            "metric": f"FLUX.1-schnell {res}x{res} {args.impl} serving with "
+                      f"prompt-LRU ({n_req} requests over 2 unique prompts, "
+                      f"{hits}/{n_req} encode hits; cache-off "
+                      f"{n_req/t_off:.3f} img/s)",
+            "value": round(n_req / t_on, 4),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(t_off / t_on, 4),
+        }))
+        return 0
+
     prompts = [f"subject number {i}" for i in range(n_req)]
     # Mixed-lane workload: every 4th request is img2img (random init image,
     # strength 0.6 -> truncated per-lane schedule) so the bench exercises
@@ -652,6 +690,10 @@ def main():
     # chip — the library's isq_t5 capacity guard makes the same call — so
     # the A/B config is FLUX-nf4 + T5-q8t (fits at ~10.8 GB).
     ap.add_argument("--t5-impl", choices=["q4", "q8t"], default="q4")
+    ap.add_argument("--serve-workload", choices=["mixed", "lru"],
+                    default="mixed",
+                    help="serve mode: mixed t2i/i2i lanes (default) or the "
+                         "repeated-prompt LRU-cache benefit row")
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--preset", choices=list(PRESETS), default=None,
