@@ -138,11 +138,19 @@ def rope_halfsplit_permute(params: dict, cfg) -> dict:
     return params
 
 
-def fuse_flux_qkv(params: dict) -> dict:
+def fuse_flux_qkv(params: dict, streams=("img", "txt", "single")) -> dict:
     """Returns a new param tree with fused projections:
 
     * double blocks: img_attn/txt_attn get ``qkv`` (q|k|v) replacing q,k,v;
     * single blocks: ``qkv_mlp`` (q|k|v|proj_mlp) replacing all four.
+
+    ``streams`` selects which of ("img", "txt", "single") to fuse — the win
+    is per-call-size dependent: the double blocks' TXT stream runs its
+    projections at M = 512·batch where the quantized kernel is far below its
+    rate at production M (kernel_bench r5: 9.7 GFLOP/call shapes run ~3x
+    slower than 29+ GFLOP/call shapes at the same M), so fusing the three
+    txt projections into one call recovers most of that penalty, while the
+    img/single fusions measured slower e2e (BENCH.md r3/r4).
 
     models/flux.py detects the fused keys at trace time.
     """
@@ -156,15 +164,18 @@ def fuse_flux_qkv(params: dict) -> dict:
         return attn
 
     double = dict(params["double"])
-    double["img_attn"] = fuse_attn(double["img_attn"])
-    double["txt_attn"] = fuse_attn(double["txt_attn"])
+    if "img" in streams:
+        double["img_attn"] = fuse_attn(double["img_attn"])
+    if "txt" in streams:
+        double["txt_attn"] = fuse_attn(double["txt_attn"])
     params["double"] = double
 
-    single = dict(params["single"])
-    if "qkv_mlp" not in single and "q" in single:
-        single["qkv_mlp"] = _fuse_linears(
-            [single.pop("q"), single.pop("k"), single.pop("v"),
-             single.pop("proj_mlp")]
-        )
-    params["single"] = single
+    if "single" in streams:
+        single = dict(params["single"])
+        if "qkv_mlp" not in single and "q" in single:
+            single["qkv_mlp"] = _fuse_linears(
+                [single.pop("q"), single.pop("k"), single.pop("v"),
+                 single.pop("proj_mlp")]
+            )
+        params["single"] = single
     return params

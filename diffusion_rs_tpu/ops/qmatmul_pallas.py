@@ -191,6 +191,31 @@ def _scale_block_spec(rows: int, bn: int):
     return pl.BlockSpec((1, rows, bn), lambda mi, ni, ki: (ki, 0, ni))
 
 
+def _pick_bm(m: int, bm_cap: int) -> int:
+    """Pad-aware m-tile choice. The legacy ``min(bm_cap, round_up(m, 16))``
+    rounded the padded M up to a multiple of bm_cap, wasting whole MXU rows
+    on production shapes: the north star's img calls pad 4096 -> 4608
+    (12.5% dead compute) and the 720x1280 preset's pad 3600 -> 4608 (28%).
+    Instead pick the m-tile count first, then the smallest 16-aligned bm
+    covering m in that many tiles: minimal padded m_p, ties broken toward
+    fewer tiles (each m-tile refetches the full weight plane once per
+    (n, k) tile pass). Examples: 3600 -> bm 1200 (3 tiles, zero pad),
+    4096 -> bm 1024 (4 tiles, zero pad), 4608 -> bm 1536 (unchanged)."""
+    up16 = _round_up(m, 16)
+    if up16 <= bm_cap:
+        return up16
+    tiles_lo = -(-m // bm_cap)
+    best = None
+    for tiles in range(tiles_lo, tiles_lo + 8):
+        bm_ = _round_up(-(-m // tiles), 16)
+        if bm_ > bm_cap or bm_ < 256:
+            continue
+        key = (bm_ * tiles, tiles)  # (padded m_p, weight refetches)
+        if best is None or key < best[0]:
+            best = (key, bm_)
+    return best[1] if best else min(bm_cap, up16)
+
+
 def _plan_tiles(m: int, k: int, n: int, bits: int, group: int, split: int,
                 has_bias: bool, bm_cap: int, bn_cap: int,
                 out_itemsize: int = 2):
@@ -212,7 +237,6 @@ def _plan_tiles(m: int, k: int, n: int, bits: int, group: int, split: int,
     bn = min(bn_cap, n)
     while n % bn != 0:
         bn //= 2
-    bm = min(bm_cap, _round_up(m, 16))
     VMEM_BUDGET = 12 * 1024 * 1024
 
     def vmem_use(bm_, bn_):
@@ -228,10 +252,25 @@ def _plan_tiles(m: int, k: int, n: int, bits: int, group: int, split: int,
             + (k // group) * bn_ * 4 * (2 if has_bias else 1)
         )
 
-    while bm > 256 and vmem_use(bm, bn) > VMEM_BUDGET:
-        bm //= 2
-    while bn > 128 and vmem_use(bm, bn) > VMEM_BUDGET:
+    def max_bm(bn_):
+        """Largest 16-aligned bm within the VMEM budget at this bn (vmem_use
+        is affine increasing in bm, so solve the per-row byte cost once)."""
+        fixed = vmem_use(0, bn_)
+        if fixed >= VMEM_BUDGET:
+            return 0
+        per_row = (vmem_use(16, bn_) - fixed) // 16
+        return ((VMEM_BUDGET - fixed) // per_row) // 16 * 16
+
+    # Shrink bn first if even the floor-bm tile busts the budget, then pick
+    # a pad-aware bm inside the feasible range (the budget cap is applied
+    # BEFORE the pad optimization — shrinking afterwards would re-introduce
+    # padding, e.g. 4096 picks bm 512 / zero pad at bn 3072, not 384 / 3%).
+    while bn > 128 and max_bm(bn) < 256:
         bn //= 2
+    cap = min(bm_cap, max_bm(bn))
+    if cap < 256 and cap < _round_up(m, 16):
+        return None
+    bm = _pick_bm(m, cap)
     if vmem_use(bm, bn) > VMEM_BUDGET:
         return None
     return bm, bn, bk

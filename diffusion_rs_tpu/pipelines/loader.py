@@ -303,14 +303,22 @@ def load_pipeline(
                 )
                 if not silent:
                     log.info("applied LoRA %s (scale %.2f)", lf, sc)
-        # qkv fusion is opt-in: inside one jit graph XLA already pipelines
-        # the separate projections, and the fused variant measured ~6% slower
-        # at 1024^2 (the wide-output split outweighs saved dispatches).
-        if os.environ.get("DIFFUSION_RS_TPU_FUSE"):
+        # qkv fusion is per-stream (DIFFUSION_RS_TPU_FUSE = "1"/"all", or a
+        # comma list of img,txt,single). img/single fusion measured slower
+        # e2e on v5e (XLA pipelines the separate wide projections; BENCH.md
+        # r3/r4) and stays opt-in; the double blocks' TXT stream runs at
+        # M = 512·batch where per-call work is the kernel's limiter
+        # (kernel_bench r5), so "txt" is the measured-win subset.
+        fuse_env = os.environ.get("DIFFUSION_RS_TPU_FUSE", "")
+        if fuse_env and fuse_env != "0":
             from ..models.optimize import fuse_flux_qkv
 
+            streams = (
+                ("img", "txt", "single") if fuse_env in ("1", "all")
+                else tuple(s.strip() for s in fuse_env.split(",") if s.strip())
+            )
             try:
-                flux_params = fuse_flux_qkv(flux_params)
+                flux_params = fuse_flux_qkv(flux_params, streams)
             except ValueError as e:
                 if not silent:
                     log.info("qkv fusion skipped: %s", e)

@@ -242,6 +242,35 @@ def test_qmm_plan_accounts_out_dtype():
     assert bm32 >= 256 and bn32 >= 128
 
 
+def test_qmm_plan_pad_aware_bm():
+    """The m-tile is chosen pad-first INSIDE the VMEM-feasible range (r5):
+    the legacy plan padded production M up to bm multiples AFTER the budget
+    shrink — 4096 -> 4224 rows at the north star's img calls and
+    3600 -> 3840 at 720x1280 (q8t), 4096 -> 4608 (12.5% dead MXU rows) at
+    nf4's bigger tiles. Every production M must now plan with zero pad."""
+    from diffusion_rs_tpu.ops.qmatmul_pallas import _plan_tiles, _round_up
+
+    # (m, bits, group, split, bn_cap): q8t runs full-N tiles, nf4 bn 1024
+    cases = [
+        (512, 8, 256, 256, 3072), (4096, 8, 256, 256, 3072),
+        (4608, 8, 256, 256, 3072), (3600, 8, 256, 256, 3072),
+        (36864, 8, 256, 256, 3072),
+        (4096, 4, 64, 64, 1024), (3600, 4, 64, 64, 1024),
+        (4608, 4, 64, 64, 1024),
+    ]
+    for m, bits, group, split, bn_cap in cases:
+        plan = _plan_tiles(m, 3072, 3072, bits, group, split, False,
+                           1536, bn_cap, 2)
+        assert plan is not None, m
+        bm, bn, bk = plan
+        assert _round_up(m, bm) == m, (m, bm)  # zero padded rows
+        assert bm % 16 == 0 and bm >= 256
+    # non-divisible M still pads, but only to the next 16-aligned tile grid
+    bm, _, _ = _plan_tiles(4100, 3072, 3072, 8, 256, 256, False,
+                           1536, 3072, 2)
+    assert _round_up(4100, bm) - 4100 <= bm  # bounded, not a bm_cap multiple
+
+
 def test_qmm_accuracy_budget(rng):
     """End-to-end quantize->fused-matmul error budget (reference: <= 0.02)."""
     m, k, n = 16, 512, 256
