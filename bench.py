@@ -543,10 +543,15 @@ def bench_step(args, preset) -> int:
         params = init_flux_params(key, cfg, dtype)
     import os
 
-    if params is not None and os.environ.get("DIFFUSION_RS_TPU_FUSE"):
+    fuse_env = os.environ.get("DIFFUSION_RS_TPU_FUSE", "")
+    if params is not None and fuse_env and fuse_env != "0":
         from diffusion_rs_tpu.models.optimize import fuse_flux_qkv
 
-        params = fuse_flux_qkv(params)
+        streams = (
+            ("img", "txt", "single") if fuse_env in ("1", "all")
+            else tuple(s.strip() for s in fuse_env.split(",") if s.strip())
+        )
+        params = fuse_flux_qkv(params, streams)
     if params is not None:
         params, cfg = _maybe_rope_fused(params, cfg)
     elif stream_weights:

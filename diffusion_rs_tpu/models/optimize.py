@@ -38,6 +38,30 @@ def _fuse_linears(lins) -> Linear:
     return Linear(w=w, b=b)
 
 
+def fuse_t5(params: dict) -> dict:
+    """Fuse the T5 encoder projections that share an input: per block,
+    self-attention q|k|v -> ``qkv`` and the gated FF's wi_0|wi_1 -> ``wi01``
+    (models/t5.py detects the fused keys at trace time). Text encode runs at
+    M = seq*batch (<= 512), where the quantized kernel's rate is limited by
+    per-call work (kernel_bench r5: 35.8 vs 147.7 TFLOP/s at M=512 for
+    1x- vs 4x-wide calls) — one wide call per group recovers most of it.
+    Exact layout transform: outputs are bit-identical columns of the fused
+    result. Reference issues them separately (models/t5/mod.rs:300-327)."""
+    params = dict(params)
+    blocks = dict(params["blocks"])
+    attn = dict(blocks["attn"])
+    if "q" in attn and "qkv" not in attn:
+        attn["qkv"] = _fuse_linears([attn.pop("q"), attn.pop("k"),
+                                     attn.pop("v")])
+        blocks["attn"] = attn
+    ff = dict(blocks["ff"])
+    if "wi_0" in ff and "wi01" not in ff:
+        ff["wi01"] = _fuse_linears([ff.pop("wi_0"), ff.pop("wi_1")])
+        blocks["ff"] = ff
+    params["blocks"] = blocks
+    return params
+
+
 def _head_halfsplit_perm(n_heads: int, head_dim: int):
     """Per-head column permutation 2i -> i, 2i+1 -> i + D/2 (interleaved
     RoPE pairs -> half-split/NeoX pairs). ``out[j] = old[perm[j]]``."""

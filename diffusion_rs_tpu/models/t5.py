@@ -124,9 +124,16 @@ def t5_block(bp: Params, x: jnp.ndarray, bias: jnp.ndarray, cfg: T5Config):
     normed = rms_norm(x, bp["attn_norm"], cfg.layer_norm_epsilon)
     def split(t):
         return t.reshape(b, s, h, dk).transpose(0, 2, 1, 3)
-    q = split(linear(normed, bp["attn"]["q"]))
-    k = split(linear(normed, bp["attn"]["k"]))
-    v = split(linear(normed, bp["attn"]["v"]))
+    if "qkv" in bp["attn"]:
+        # fused q|k|v (models/optimize.fuse_t5): encode runs at M = seq*batch
+        # (512 or less), where per-call work limits the quantized kernel —
+        # one 3x-wide call recovers the rate (kernel_bench r5)
+        qc, kc, vc = jnp.split(linear(normed, bp["attn"]["qkv"]), 3, axis=-1)
+        q, k, v = split(qc), split(kc), split(vc)
+    else:
+        q = split(linear(normed, bp["attn"]["q"]))
+        k = split(linear(normed, bp["attn"]["k"]))
+        v = split(linear(normed, bp["attn"]["v"]))
     # T5 uses UNSCALED attention scores (t5/mod.rs:319 — plain q.matmul(k^T)).
     attn = sdpa(q, k, v, scale=1.0, bias=bias, impl="xla")
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * dk)
@@ -135,8 +142,12 @@ def t5_block(bp: Params, x: jnp.ndarray, bias: jnp.ndarray, cfg: T5Config):
 
     normed = rms_norm(x, bp["ff_norm"], cfg.layer_norm_epsilon)
     if cfg.gated_act:
-        gate = _act(cfg.act, linear(normed, bp["ff"]["wi_0"]))
-        up = linear(normed, bp["ff"]["wi_1"])
+        if "wi01" in bp["ff"]:
+            gate, up = jnp.split(linear(normed, bp["ff"]["wi01"]), 2, axis=-1)
+            gate = _act(cfg.act, gate)
+        else:
+            gate = _act(cfg.act, linear(normed, bp["ff"]["wi_0"]))
+            up = linear(normed, bp["ff"]["wi_1"])
         ff = linear(gate * up, bp["ff"]["wo"])
     else:
         ff = linear(_act(cfg.act, linear(normed, bp["ff"]["wi"])), bp["ff"]["wo"])

@@ -311,10 +311,10 @@ def load_pipeline(
         # (kernel_bench r5), so "txt" is the measured-win subset.
         fuse_env = os.environ.get("DIFFUSION_RS_TPU_FUSE", "")
         if fuse_env and fuse_env != "0":
-            from ..models.optimize import fuse_flux_qkv
+            from ..models.optimize import fuse_flux_qkv, fuse_t5
 
             streams = (
-                ("img", "txt", "single") if fuse_env in ("1", "all")
+                ("img", "txt", "single", "t5") if fuse_env in ("1", "all")
                 else tuple(s.strip() for s in fuse_env.split(",") if s.strip())
             )
             try:
@@ -322,6 +322,12 @@ def load_pipeline(
             except ValueError as e:
                 if not silent:
                     log.info("qkv fusion skipped: %s", e)
+            if "t5" in streams:
+                try:
+                    t5_params = fuse_t5(t5_params)
+                except ValueError as e:
+                    if not silent:
+                        log.info("t5 fusion skipped: %s", e)
         # RoPE half-split re-layout (AFTER isq/lora/fuse — it permutes the
         # final q/k columns): enables the fused-RoPE / seq-major flash
         # kernels (SURVEY §7.4; flash_pallas). Mathematically exact

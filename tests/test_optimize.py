@@ -38,6 +38,49 @@ def test_fused_qkv_matches_unfused():
     np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=2e-5, atol=2e-5)
 
 
+def test_fuse_streams_subset():
+    """Stream-selective fusion (r5): streams=('txt',) fuses ONLY the double
+    blocks' txt projections — img/single stay separate (they measured slower
+    fused on v5e, BENCH.md r3/r4) — and the forward stays bit-equivalent."""
+    params = init_flux_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    fused = fuse_flux_qkv(params, streams=("txt",))
+    assert "qkv" in fused["double"]["txt_attn"]
+    assert "qkv" not in fused["double"]["img_attn"]
+    assert "qkv_mlp" not in fused["single"]
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    b, s_img, s_txt = 2, 8, 4
+    img = jax.random.normal(ks[0], (b, s_img, CFG.in_channels), jnp.float32)
+    txt = jax.random.normal(ks[1], (b, s_txt, CFG.joint_attention_dim), jnp.float32)
+    y = jax.random.normal(ks[2], (b, CFG.pooled_projection_dim), jnp.float32)
+    t = jnp.full((b,), 0.5, jnp.float32)
+    img_ids, txt_ids = make_img_ids(b, 2, 4), make_txt_ids(b, s_txt)
+    a = flux_forward(params, CFG, img, txt, t, y, None, txt_ids, img_ids)
+    c = flux_forward(fused, CFG, img, txt, t, y, None, txt_ids, img_ids)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=2e-5, atol=2e-5)
+
+
+def test_fuse_t5_matches_unfused():
+    """fuse_t5: q|k|v and gated wi_0|wi_1 fused per block — encode output
+    must match the unfused path exactly (same K-reduction, same tiles)."""
+    from diffusion_rs_tpu.models.optimize import fuse_t5
+    from diffusion_rs_tpu.models.t5 import T5Config, init_t5_params, t5_encode
+
+    cfg = T5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, layer_norm_epsilon=1e-6,
+        act="gelu_new", gated_act=True,
+    )
+    params = init_t5_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    fused = fuse_t5(params)
+    assert "qkv" in fused["blocks"]["attn"] and "q" not in fused["blocks"]["attn"]
+    assert "wi01" in fused["blocks"]["ff"] and "wi_0" not in fused["blocks"]["ff"]
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 64)
+    a = np.asarray(t5_encode(params, cfg, ids))
+    c = np.asarray(t5_encode(fused, cfg, ids))
+    np.testing.assert_allclose(c, a, rtol=2e-5, atol=2e-5)
+
+
 def test_concat_n_quantized_exact(rng):
     a = quantize_q8_0((rng.standard_normal((256, 128)) * 0.1).astype(np.float32))
     b = quantize_q8_0((rng.standard_normal((256, 64)) * 0.1).astype(np.float32))
