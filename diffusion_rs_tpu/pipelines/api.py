@@ -97,6 +97,7 @@ class Pipeline:
         t5_mask_pads: Optional[bool] = None,
         step_progress: Optional[bool] = None,
         compile_cache: Optional[str] = None,
+        fuse: Union[bool, str, Sequence[str], None] = None,
     ):
         """``isq``: in-situ-quantize dense transformer linears at load
         ("q4_0" | "q8_0" | "q4_k" | "q6_k" | "nf4") — IsqType equivalent
@@ -137,7 +138,15 @@ class Pipeline:
         cache (``DIFFUSION_RS_TPU_COMPILE_CACHE`` env var is the default) —
         a restarted serving process or the next CLI run reuses compiled
         stage artifacts instead of paying the 20-40 s/stage cold compile
-        (util/compile_cache.py)."""
+        (util/compile_cache.py).
+
+        ``fuse``: which shared-input projection groups to fuse into one
+        wide quantized matmul each — any subset of
+        ``("img", "txt", "single", "t5")`` (list or comma string), or
+        True/"all". None follows ``DIFFUSION_RS_TPU_FUSE``, else the
+        measured per-stream default (loader._FUSE_MEASURED_DEFAULT).
+        Exact layout transform: outputs are bit-identical. Resolved once
+        at construction (jit traces the param-tree layout)."""
         from .loader import load_pipeline  # deferred: heavy imports
 
         self._inner = load_pipeline(
@@ -156,6 +165,7 @@ class Pipeline:
             t5_mask_pads=t5_mask_pads,
             step_progress=step_progress,
             compile_cache=compile_cache,
+            fuse=fuse,
         )
 
     def forward(

@@ -46,6 +46,31 @@ from .scheduler import SchedulerConfig
 log = logging.getLogger("diffusion_rs_tpu")
 
 
+# Measured per-stream fusion default (BENCH.md r5 A/B): streams whose fused
+# projections beat the separate calls on v5e. Empty until the on-chip
+# adopt/reject lands; DIFFUSION_RS_TPU_FUSE / Pipeline(fuse=...) override.
+_FUSE_MEASURED_DEFAULT: tuple = ()
+_FUSE_ALL = ("img", "txt", "single", "t5")
+
+
+def _resolve_fuse(fuse) -> tuple:
+    """Resolve the fuse selection ONCE at construction (the param-tree
+    layout is traced into every jit graph). None -> env var -> measured
+    default; True/'1'/'all' -> every stream; str -> comma list."""
+    if fuse is None:
+        env = os.environ.get("DIFFUSION_RS_TPU_FUSE", "")
+        if env == "":
+            return _FUSE_MEASURED_DEFAULT
+        fuse = env
+    if fuse in (False, "0", ""):
+        return ()
+    if fuse in (True, "1", "all"):
+        return _FUSE_ALL
+    if isinstance(fuse, str):
+        return tuple(s.strip() for s in fuse.split(",") if s.strip())
+    return tuple(fuse)
+
+
 def _resolve_dtype(dtype: ModelDType):
     if dtype == ModelDType.Auto:
         from ..util.dtype import resolve_auto_dtype
@@ -95,6 +120,7 @@ def load_pipeline(
     dtype: ModelDType = ModelDType.Auto,
     isq: Optional[str] = None,
     isq_t5: Optional[str] = None,
+    fuse=None,
     imatrix: Optional[str] = None,
     lora: Union[str, Sequence[str], None] = None,
     lora_scale: Union[float, Sequence[float]] = 1.0,
@@ -309,14 +335,10 @@ def load_pipeline(
         # r3/r4) and stays opt-in; the double blocks' TXT stream runs at
         # M = 512·batch where per-call work is the kernel's limiter
         # (kernel_bench r5), so "txt" is the measured-win subset.
-        fuse_env = os.environ.get("DIFFUSION_RS_TPU_FUSE", "")
-        if fuse_env and fuse_env != "0":
+        streams = _resolve_fuse(fuse)
+        if streams:
             from ..models.optimize import fuse_flux_qkv, fuse_t5
 
-            streams = (
-                ("img", "txt", "single", "t5") if fuse_env in ("1", "all")
-                else tuple(s.strip() for s in fuse_env.split(",") if s.strip())
-            )
             try:
                 flux_params = fuse_flux_qkv(flux_params, streams)
             except ValueError as e:
