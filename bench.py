@@ -545,12 +545,17 @@ def bench_step(args, preset) -> int:
 
     fuse_env = os.environ.get("DIFFUSION_RS_TPU_FUSE", "")
     if params is not None and fuse_env and fuse_env != "0":
+        import dataclasses as _dc
+
         from diffusion_rs_tpu.models.optimize import fuse_flux_qkv
 
         streams = (
             ("img", "txt", "single") if fuse_env in ("1", "all")
             else tuple(s.strip() for s in fuse_env.split(",") if s.strip())
         )
+        if "grouped" in streams:
+            streams = tuple(dict.fromkeys(streams + ("img", "txt")))
+            cfg = _dc.replace(cfg, grouped_qmm=True)
         params = fuse_flux_qkv(params, streams)
     if params is not None:
         params, cfg = _maybe_rope_fused(params, cfg)

@@ -40,6 +40,7 @@ from ..ops import (
     apply_rope,
     layer_norm,
     linear,
+    linear_grouped,
     rms_norm,
     rope_tables,
     sdpa,
@@ -68,6 +69,10 @@ class FluxConfig:
     # fused into the flash kernel (SURVEY §7.4). Never read from config.json
     # — set by the loader.
     rope_fused: bool = False
+    # Grouped img+txt projection calls in double blocks (one kernel launch
+    # per projection pair — BENCH.md r5). Set by the loader (fuse token
+    # "grouped"); requires fused qkv in both streams. Never from config.json.
+    grouped_qmm: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -132,14 +137,17 @@ def _scale_shift(x, shift, scale):
     return x * (scale + 1.0) + shift
 
 
-def _qkv(p: Params, x: jnp.ndarray, n_heads: int):
+def _qkv(p: Params, x: jnp.ndarray, n_heads: int, proj=None):
     """Project + split heads + QK-RMSNorm (model.rs:394-432). Supports the
-    fused ``qkv`` layout produced by models/optimize.py."""
+    fused ``qkv`` layout produced by models/optimize.py; ``proj`` supplies a
+    precomputed fused q|k|v projection (the grouped-call path)."""
     b, s, _ = x.shape
     def split(t):
         return t.reshape(b, s, n_heads, -1).transpose(0, 2, 1, 3)
-    if "qkv" in p:
-        qc, kc, vc = jnp.split(linear(x, p["qkv"]), 3, axis=-1)
+    if proj is None and "qkv" in p:
+        proj = linear(x, p["qkv"])
+    if proj is not None:
+        qc, kc, vc = jnp.split(proj, 3, axis=-1)
         q, k, v = split(qc), split(kc), split(vc)
     else:
         q = split(linear(x, p["q"]))
@@ -162,18 +170,21 @@ def _joint_attention(q, k, v, cos, sin):
     return sdpa_merged(q, k, v)
 
 
-def _qkv_sm(p: Params, x: jnp.ndarray, n_heads: int):
+def _qkv_sm(p: Params, x: jnp.ndarray, n_heads: int, proj=None):
     """Seq-major _qkv: project + per-head QK-RMSNorm WITHOUT the head-split
     transpose — q/k/v stay [B, S, H*D] (the layout the fused flash kernel
-    consumes directly; see flash_pallas._flash_rope_kernel)."""
+    consumes directly; see flash_pallas._flash_rope_kernel). ``proj``
+    supplies a precomputed fused projection (the grouped-call path)."""
     b, s, _ = x.shape
 
     def norm(t, scale):
         t4 = t.reshape(b, s, n_heads, -1)     # free reshape, no transpose
         return rms_norm(t4, scale).reshape(b, s, -1)
 
-    if "qkv" in p:
-        qc, kc, vc = jnp.split(linear(x, p["qkv"]), 3, axis=-1)
+    if proj is None and "qkv" in p:
+        proj = linear(x, p["qkv"])
+    if proj is not None:
+        qc, kc, vc = jnp.split(proj, 3, axis=-1)
     else:
         qc = linear(x, p["q"])
         kc = linear(x, p["k"])
@@ -246,23 +257,62 @@ def double_block(
     img_mod = _scale_shift(layer_norm(img), i_shift1, i_scale1)
     txt_mod = _scale_shift(layer_norm(txt), t_shift1, t_scale1)
     heads = cfg.num_attention_heads
+    # Grouped-call path (cfg.grouped_qmm, BENCH.md r5): the txt stream's
+    # projections run at M = 512·batch where a standalone quantized call is
+    # per-call-work-limited (~24% of the img stream's rate), so each
+    # img/txt projection pair runs as ONE grouped kernel launch — the txt
+    # m-tiles ride the img call's grid (ops/linear.linear_grouped). Exact:
+    # per-group math is identical. Requires fused qkv in both streams.
+    grouped = (
+        cfg.grouped_qmm
+        and "qkv" in p["img_attn"] and "qkv" in p["txt_attn"]
+    )
+    if grouped:
+        i_proj, t_proj = linear_grouped(
+            [img_mod, txt_mod],
+            [p["img_attn"]["qkv"], p["txt_attn"]["qkv"]],
+        )
+    else:
+        i_proj = t_proj = None
     if cfg.rope_fused:
         # seq-major path: (cos, sin) carry the EXPANDED (ce, se) tables
-        iq, ik, iv = _qkv_sm(p["img_attn"], img_mod, heads)
-        tq, tk, tv = _qkv_sm(p["txt_attn"], txt_mod, heads)
+        iq, ik, iv = _qkv_sm(p["img_attn"], img_mod, heads, proj=i_proj)
+        tq, tk, tv = _qkv_sm(p["txt_attn"], txt_mod, heads, proj=t_proj)
         q = jnp.concatenate([tq, iq], axis=1)
         k = jnp.concatenate([tk, ik], axis=1)
         v = jnp.concatenate([tv, iv], axis=1)
         attn = _joint_attention_sm(q, k, v, cos, sin, cfg.head_dim)
     else:
-        iq, ik, iv = _qkv(p["img_attn"], img_mod, heads)
-        tq, tk, tv = _qkv(p["txt_attn"], txt_mod, heads)
+        iq, ik, iv = _qkv(p["img_attn"], img_mod, heads, proj=i_proj)
+        tq, tk, tv = _qkv(p["txt_attn"], txt_mod, heads, proj=t_proj)
         q = jnp.concatenate([tq, iq], axis=2)
         k = jnp.concatenate([tk, ik], axis=2)
         v = jnp.concatenate([tv, iv], axis=2)
         attn = _joint_attention(q, k, v, cos, sin)
     txt_len = txt.shape[1]
     txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
+
+    if grouped:
+        i_p, t_p = linear_grouped(
+            [img_attn, txt_attn],
+            [p["img_attn"]["proj"], p["txt_attn"]["proj"]],
+        )
+        img = img + i_gate1 * i_p
+        txt = txt + t_gate1 * t_p
+        img_mlp_in = _scale_shift(layer_norm(img), i_shift2, i_scale2)
+        txt_mlp_in = _scale_shift(layer_norm(txt), t_shift2, t_scale2)
+        i_h, t_h = linear_grouped(
+            [img_mlp_in, txt_mlp_in],
+            [p["img_mlp"]["in"], p["txt_mlp"]["in"]],
+        )
+        img_mlp, txt_mlp = linear_grouped(
+            [jax.nn.gelu(i_h, approximate=True),
+             jax.nn.gelu(t_h, approximate=True)],
+            [p["img_mlp"]["out"], p["txt_mlp"]["out"]],
+        )
+        img = img + i_gate2 * img_mlp
+        txt = txt + t_gate2 * txt_mlp
+        return img, txt
 
     img = img + i_gate1 * linear(img_attn, p["img_attn"]["proj"])
     img_mlp_in = _scale_shift(layer_norm(img), i_shift2, i_scale2)

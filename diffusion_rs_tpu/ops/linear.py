@@ -99,6 +99,30 @@ def linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
     return y
 
 
+def linear_grouped(xs, lins):
+    """``[linear(x_g, lin_g) for g]`` through ONE kernel launch when every
+    group's weight is a same-format QuantizedTensor (grouped Pallas call —
+    each m-tile selects its group's weight plane; see
+    qmatmul_pallas.quantized_matmul_grouped). FLUX double blocks run their
+    txt-stream projections at M = 512·batch, where a standalone call reaches
+    ~24% of the img stream's rate (BENCH.md r5) — grouping rides the txt
+    rows on the img call's grid. Falls back to per-group :func:`linear`
+    whenever the grouped kernel doesn't apply (dense weights, LoRA terms,
+    format mismatch, CPU backend)."""
+    mode = _qmm_mode()
+    ws = [l.w for l in lins]
+    if (
+        mode is None
+        or not all(isinstance(w, QuantizedTensor) for w in ws)
+        or any(l.lora is not None for l in lins)
+    ):
+        return [linear(x, l) for x, l in zip(xs, lins)]
+    from .qmatmul_pallas import quantized_matmul_grouped
+
+    ys = quantized_matmul_grouped(xs, ws, interpret=(mode == "interpret"))
+    return [y if l.b is None else y + l.b for y, l in zip(ys, lins)]
+
+
 def make_linear(
     w, b=None, transpose: bool = False, dtype=jnp.bfloat16
 ) -> Linear:

@@ -494,3 +494,242 @@ def quantized_matmul(
         args.append(qt.codebook)
     out = qmm(*args)
     return out.reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# Grouped quantized matmul: several (x_g, w_g) pairs of the SAME [K, N]
+# quantized format through ONE kernel launch, with each m-tile selecting its
+# group's weight plane by grid index (megablocks-style static grouping).
+#
+# Why (BENCH.md r5): FLUX double blocks project the txt stream at
+# M = 512·batch, where a standalone call runs at ~24% of the rate of the
+# img stream's M = 4096 call (35.8 vs 149.9 TFLOP/s at production tiles) —
+# per-call work is the limiter, not M itself. Grouping the txt and img
+# projections into one launch rides the txt rows on the img call's grid:
+# same weight traffic (both streams already plan bm = 512 m-tiles), one
+# dispatch, full-rate throughout. The reference has no analogue (its
+# streams run as separate QuantMethod::forward calls, model.rs:523-565).
+# ---------------------------------------------------------------------------
+
+
+def _qmm_grouped_kernel(
+    x_ref, packed_ref, scale_ref, bias_ref, cb_ref, o_ref, acc_ref,
+    *, bits, group, bk, bn, has_bias, has_cb, s8_act=False, fast16=False
+):
+    """Same math as _qmm_kernel; packed/scale/bias blocks carry a leading
+    group axis of size 1 (selected by the m-tile's group in the index map)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if s8_act:
+        x = x_ref[...].astype(jnp.float32)
+        ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        sx = jnp.where(ax == 0.0, 1.0, ax / 127.0)
+        xq = jnp.round(x / sx).astype(jnp.int8)
+        prod = jax.lax.dot(
+            xq, packed_ref[0], preferred_element_type=jnp.int32
+        )
+        acc_ref[...] += prod.astype(jnp.float32) * (
+            sx * scale_ref[0, 0, 0][None, :]
+        )
+    else:
+        w = _dequant_tile(
+            packed_ref[0],
+            scale_ref[0, 0],
+            bias_ref[0, 0] if has_bias else None,
+            cb_ref if has_cb else None,
+            bits=bits,
+            group=group,
+            bk=bk,
+            bn=bn,
+            out_dtype=x_ref.dtype,
+            fast16=fast16,
+        )
+        acc_ref[...] += jax.lax.dot(
+            x_ref[...], w, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == nk - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ms", "bits", "group", "split", "kn", "out_dtype",
+                     "interpret", "bm_cap", "bn_cap", "s8_act", "fast16",
+                     "has_bias", "has_cb"),
+)
+def _qmm_grouped_call(x_cat, packed_s, scale_s, bias_s, codebook, *, ms,
+                      bits, group, split, kn, out_dtype, interpret, bm_cap,
+                      bn_cap, s8_act, fast16, has_bias, has_cb):
+    """x_cat: groups' [m_g_padded, K] rows concatenated (each m_g pre-padded
+    to a bm multiple by the caller); packed_s/scale_s/bias_s: the groups'
+    planes stacked on a leading axis, scale/bias pre-tiled per k-tile."""
+    k, n = kn
+    plan = _plan_tiles(max(ms), k, n, bits, group, split, has_bias,
+                       bm_cap, bn_cap, jnp.dtype(out_dtype).itemsize)
+    bm, bn, bk = plan
+    tiles = [_round_up(m, bm) // bm for m in ms]
+    bounds = []
+    acc = 0
+    for t in tiles[:-1]:
+        acc += t
+        bounds.append(acc)
+
+    def gid(mi):
+        g = jnp.int32(0)
+        for b in bounds:
+            g = g + (mi >= b).astype(jnp.int32)
+        return g
+
+    grid = (sum(tiles), n // bn, k // bk)
+    k_tiles = k // bk
+    rows = max(1, bk // group)
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda mi, ni, ki: (mi, ki)),
+        pl.BlockSpec(
+            (1, (bk // 2) if bits == 4 else bk, bn),
+            lambda mi, ni, ki: (gid(mi), ki, ni),
+        ),
+        pl.BlockSpec(
+            (1, 1, rows, bn), lambda mi, ni, ki: (gid(mi), ki, 0, ni)
+        ),
+    ]
+    args = [x_cat, packed_s, scale_s]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rows, bn), lambda mi, ni, ki: (gid(mi), ki, 0, ni)
+            )
+        )
+        args.append(bias_s)
+    if has_cb:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(codebook)
+
+    def kernel(x_ref, packed_ref, scale_ref, *rest):
+        idx = 0
+        bias_ref = rest[idx] if has_bias else None
+        idx += int(has_bias)
+        cb_ref = rest[idx] if has_cb else None
+        idx += int(has_cb)
+        o_ref = rest[idx]
+        acc_ref = rest[idx + 1]
+        _qmm_grouped_kernel(
+            x_ref, packed_ref, scale_ref, bias_ref, cb_ref, o_ref, acc_ref,
+            bits=bits, group=group, bk=bk, bn=bn,
+            has_bias=has_bias, has_cb=has_cb, s8_act=s8_act, fast16=fast16,
+        )
+
+    m_tot = x_cat.shape[0]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, ki: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((m_tot, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_tot * k * n,
+            bytes_accessed=packed_s.size * packed_s.dtype.itemsize
+            + x_cat.size * x_cat.dtype.itemsize + m_tot * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def grouped_plan(ms, qt: QuantizedTensor, out_itemsize: int = 2,
+                 bm_cap: int = 1536, bn_cap: Optional[int] = None):
+    """The (bm, bn, bk) plan a grouped call over these group sizes would
+    use, or None when the kernel tiling can't cover the format."""
+    if not supports(qt):
+        return None
+    k, n = qt.shape
+    if bn_cap is None:
+        bn_cap = 3072 if qt.kind == "q8t" else 1024
+    return _plan_tiles(max(ms), k, n, qt.bits, qt.group, qt.split,
+                       qt.bias is not None, bm_cap, bn_cap, out_itemsize)
+
+
+def quantized_matmul_grouped(
+    xs,
+    qts,
+    out_dtype=None,
+    interpret: bool = False,
+    bm_cap: int = 1536,
+    bn_cap: Optional[int] = None,
+):
+    """Grouped ``[x_g @ deq(qt_g) for g]`` in one kernel launch. All groups
+    must share [K, N], format kind/bits/group/split and bias/codebook
+    presence; falls back to per-group quantized_matmul otherwise."""
+    assert len(xs) == len(qts) and len(xs) >= 2
+    k, n = qts[0].shape
+    q0 = qts[0]
+    same = all(
+        qt.shape == (k, n) and qt.kind == q0.kind and qt.bits == q0.bits
+        and qt.group == q0.group and qt.split == q0.split
+        and (qt.bias is None) == (q0.bias is None)
+        and (qt.codebook is None) == (q0.codebook is None)
+        for qt in qts
+    )
+    out_dtype = out_dtype or xs[0].dtype
+    leads = [x.shape[:-1] for x in xs]
+    x2s = [x.reshape(-1, k) for x in xs]
+    ms = tuple(x2.shape[0] for x2 in x2s)
+    plan = grouped_plan(ms, q0, jnp.dtype(out_dtype).itemsize, bm_cap,
+                        bn_cap) if same else None
+    if plan is None:
+        return [
+            quantized_matmul(x, qt, out_dtype, interpret, bm_cap, bn_cap)
+            for x, qt in zip(xs, qts)
+        ]
+    bm, bn, bk = plan
+    if bn_cap is None:
+        bn_cap = 3072 if q0.kind == "q8t" else 1024
+    s8_act = (
+        q0.kind == "q8t" and q0.bits == 8 and q0.bias is None
+        and q0.codebook is None and q0.group == min(256, k)
+        and max(ms) <= _s8_m_crossover()
+    )
+    k_tiles = k // bk
+    padded = [
+        jnp.pad(x2, ((0, _round_up(m, bm) - m), (0, 0)))
+        for x2, m in zip(x2s, ms)
+    ]
+    x_cat = jnp.concatenate(padded, axis=0)
+    packed_s = jnp.stack([qt.packed for qt in qts])
+    scale_s = jnp.stack([
+        _tile_scale_plane(qt.scale, k_tiles, q0.group, bk, n) for qt in qts
+    ])
+    bias_s = (
+        jnp.stack([
+            _tile_scale_plane(qt.bias, k_tiles, q0.group, bk, n)
+            for qt in qts
+        ])
+        if q0.bias is not None else None
+    )
+    out = _qmm_grouped_call(
+        x_cat, packed_s, scale_s, bias_s, q0.codebook, ms=ms,
+        bits=q0.bits, group=q0.group, split=q0.split, kn=(k, n),
+        out_dtype=jnp.dtype(out_dtype), interpret=interpret,
+        bm_cap=bm_cap, bn_cap=bn_cap, s8_act=s8_act,
+        fast16=False, has_bias=q0.bias is not None,
+        has_cb=q0.codebook is not None,
+    )
+    outs = []
+    off = 0
+    for m, lead in zip(ms, leads):
+        mp = _round_up(m, bm)
+        outs.append(out[off:off + m].reshape(*lead, n))
+        off += mp
+    return outs

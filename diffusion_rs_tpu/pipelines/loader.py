@@ -336,6 +336,21 @@ def load_pipeline(
         # M = 512·batch where per-call work is the kernel's limiter
         # (kernel_bench r5), so "txt" is the measured-win subset.
         streams = _resolve_fuse(fuse)
+        if "grouped" in streams:
+            # grouped img+txt double-block calls need both streams' qkv
+            # fused, and have no GSPMD partitioning rule yet — single-chip
+            # (and offload/streaming) path only.
+            if mesh is not None:
+                from ..util.tracing import warn_once
+
+                warn_once(
+                    "grouped-mesh",
+                    "fuse='grouped' has no mesh partitioning rule; "
+                    "running the per-stream calls instead",
+                )
+                streams = tuple(s for s in streams if s != "grouped")
+            else:
+                streams = tuple(dict.fromkeys(streams + ("img", "txt")))
         if streams:
             from ..models.optimize import fuse_flux_qkv, fuse_t5
 
@@ -350,6 +365,10 @@ def load_pipeline(
                 except ValueError as e:
                     if not silent:
                         log.info("t5 fusion skipped: %s", e)
+            if "grouped" in streams:
+                import dataclasses as _dc
+
+                flux_cfg = _dc.replace(flux_cfg, grouped_qmm=True)
         # RoPE half-split re-layout (AFTER isq/lora/fuse — it permutes the
         # final q/k columns): enables the fused-RoPE / seq-major flash
         # kernels (SURVEY §7.4; flash_pallas). Mathematically exact

@@ -271,6 +271,52 @@ def test_qmm_plan_pad_aware_bm():
     assert _round_up(4100, bm) - 4100 <= bm  # bounded, not a bm_cap multiple
 
 
+def test_qmm_grouped_matches_separate(rng):
+    """Grouped call (one launch, per-m-tile weight selection) must be
+    bit-identical to the per-group calls for both the s8 (q8t) and the
+    codebook (nf4) paths, including the fallback when formats mismatch."""
+    from diffusion_rs_tpu.ops.qmatmul_pallas import quantized_matmul_grouped
+    from diffusion_rs_tpu.quant import bnb
+    from diffusion_rs_tpu.quant.qtensor import quantize_q8_tile
+
+    K, N = 512, 256
+    makers = {
+        "q8t": lambda w: quantize_q8_tile(w),
+        "nf4": lambda w: bnb.quantize_nf4(
+            np.ascontiguousarray(w.T), blocksize=64
+        ),
+    }
+    for name, make in makers.items():
+        qts = [
+            make((rng.standard_normal((K, N)) * 0.05).astype(np.float32))
+            for _ in range(2)
+        ]
+        xs = [
+            jnp.asarray(rng.standard_normal((1, m, K)), jnp.bfloat16)
+            for m in (48, 272)
+        ]
+        got = quantized_matmul_grouped(xs, qts, interpret=True)
+        want = [
+            quantized_matmul(x, qt, interpret=True)
+            for x, qt in zip(xs, qts)
+        ]
+        for g, w_ in zip(got, want):
+            np.testing.assert_array_equal(
+                np.asarray(g, np.float32), np.asarray(w_, np.float32),
+                err_msg=name,
+            )
+    # mixed formats -> falls back to per-group calls (still exact)
+    mixed = [makers["q8t"]((rng.standard_normal((K, N)) * 0.05).astype(np.float32)),
+             makers["nf4"]((rng.standard_normal((K, N)) * 0.05).astype(np.float32))]
+    xs = [jnp.asarray(rng.standard_normal((1, 32, K)), jnp.bfloat16)] * 2
+    got = quantized_matmul_grouped(xs, mixed, interpret=True)
+    for g, x, qt in zip(got, xs, mixed):
+        np.testing.assert_array_equal(
+            np.asarray(g, np.float32),
+            np.asarray(quantized_matmul(x, qt, interpret=True), np.float32),
+        )
+
+
 def test_qmm_accuracy_budget(rng):
     """End-to-end quantize->fused-matmul error budget (reference: <= 0.02)."""
     m, k, n = 16, 512, 256

@@ -81,6 +81,66 @@ def test_fuse_t5_matches_unfused():
     np.testing.assert_allclose(c, a, rtol=2e-5, atol=2e-5)
 
 
+def test_grouped_double_block_matches():
+    """cfg.grouped_qmm routes the double blocks' img/txt projection pairs
+    through grouped kernel launches — forward must match the ungrouped
+    fused path (dense weights here exercise the linear_grouped fallback;
+    the kernel path is pinned by test_ops.test_qmm_grouped_matches_separate
+    and the quantized e2e A/B on chip)."""
+    import dataclasses
+
+    params = init_flux_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    fused = fuse_flux_qkv(params, streams=("img", "txt"))
+    gcfg = dataclasses.replace(CFG, grouped_qmm=True)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    b, s_img, s_txt = 2, 8, 4
+    img = jax.random.normal(ks[0], (b, s_img, CFG.in_channels), jnp.float32)
+    txt = jax.random.normal(ks[1], (b, s_txt, CFG.joint_attention_dim), jnp.float32)
+    y = jax.random.normal(ks[2], (b, CFG.pooled_projection_dim), jnp.float32)
+    t = jnp.full((b,), 0.5, jnp.float32)
+    img_ids, txt_ids = make_img_ids(b, 2, 4), make_txt_ids(b, s_txt)
+    a = flux_forward(fused, CFG, img, txt, t, y, None, txt_ids, img_ids)
+    c = flux_forward(fused, gcfg, img, txt, t, y, None, txt_ids, img_ids)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_quantized_double_block_matches(rng):
+    """Same routing with QUANTIZED (q8t) weights on the interpret kernel:
+    the grouped launch itself must be exact vs the per-stream calls."""
+    import dataclasses
+    import os
+
+    from diffusion_rs_tpu.util.synthetic import init_flux_params_quantized
+
+    # in_channels 64: the synthetic quantized factory floors img_in's K at
+    # the nf4 blocksize (synthetic.py:170)
+    qcfg = dataclasses.replace(CFG, in_channels=64)
+    params = init_flux_params_quantized(
+        jax.random.PRNGKey(0), qcfg, jnp.float32, kind="q8t"
+    )
+    fused = fuse_flux_qkv(params, streams=("img", "txt"))
+    gcfg = dataclasses.replace(qcfg, grouped_qmm=True)
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    b, s_img, s_txt = 1, 8, 4
+    img = jax.random.normal(ks[0], (b, s_img, qcfg.in_channels), jnp.float32)
+    txt = jax.random.normal(ks[1], (b, s_txt, qcfg.joint_attention_dim), jnp.float32)
+    y = jax.random.normal(ks[2], (b, qcfg.pooled_projection_dim), jnp.float32)
+    t = jnp.full((b,), 0.5, jnp.float32)
+    img_ids, txt_ids = make_img_ids(b, 2, 4), make_txt_ids(b, s_txt)
+    os.environ["DIFFUSION_RS_TPU_QMM"] = "interpret"
+    import importlib
+
+    _lin = importlib.import_module("diffusion_rs_tpu.ops.linear")
+    _lin._qmm_mode.cache_clear()
+    try:
+        a = flux_forward(fused, qcfg, img, txt, t, y, None, txt_ids, img_ids)
+        c = flux_forward(fused, gcfg, img, txt, t, y, None, txt_ids, img_ids)
+    finally:
+        del os.environ["DIFFUSION_RS_TPU_QMM"]
+        _lin._qmm_mode.cache_clear()
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(a))
+
+
 def test_concat_n_quantized_exact(rng):
     a = quantize_q8_0((rng.standard_normal((256, 128)) * 0.1).astype(np.float32))
     b = quantize_q8_0((rng.standard_normal((256, 64)) * 0.1).astype(np.float32))

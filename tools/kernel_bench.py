@@ -137,6 +137,59 @@ def bench_qmm(args):
         print(f"{args.kind} M{m} K{k} N{n} bm{args.bm} bn{args.bn}: {tf:.1f} TFLOP/s")
 
 
+def bench_qmm_grouped(args):
+    """Grouped (img M=--m + txt M=--m2) vs two separate calls, K=N square
+    production shape (the double-block q/k/v/proj pattern, BENCH.md r5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_rs_tpu.quant.qtensor import quantize_q8_tile
+    from diffusion_rs_tpu.ops.qmatmul_pallas import (
+        quantized_matmul,
+        quantized_matmul_grouped,
+    )
+
+    rng = np.random.default_rng(0)
+    m1, m2, k, n = args.m, args.m2, args.k, args.n
+    qts = [
+        quantize_q8_tile((rng.standard_normal((k, n)) * 0.02).astype(np.float32))
+        for _ in range(2)
+    ]
+    x1 = jnp.asarray(rng.standard_normal((m1, k)), jnp.bfloat16)
+    x2 = jnp.asarray(rng.standard_normal((m2, k)), jnp.bfloat16)
+    flops = 2.0 * (m1 + m2) * k * n
+
+    # numerics first: grouped must equal the separate calls bit-for-bit
+    g = quantized_matmul_grouped([x1, x2], qts)
+    s = [quantized_matmul(x1, qts[0]), quantized_matmul(x2, qts[1])]
+    for a, b in zip(g, s):
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        assert d == 0.0, f"grouped mismatch {d}"
+
+    reps = 50
+
+    @jax.jit
+    def fused(x1, x2):
+        y1, y2 = x1, x2
+        for _ in range(reps):
+            y1, y2 = quantized_matmul_grouped([y1, y2], qts)
+        return y1.sum() + y2.sum()
+
+    @jax.jit
+    def separate(x1, x2):
+        y1, y2 = x1, x2
+        for _ in range(reps):
+            y1 = quantized_matmul(y1, qts[0])
+            y2 = quantized_matmul(y2, qts[1])
+        return y1.sum() + y2.sum()
+
+    tg = _timeit(fused, x1, x2, iters=5) / reps
+    ts = _timeit(separate, x1, x2, iters=5) / reps
+    print(f"qmmg q8t M{m1}+{m2} K{k} N{n}: grouped {flops/tg/1e12:.1f} "
+          f"TFLOP/s ({tg*1e6:.0f} us) vs separate {flops/ts/1e12:.1f} "
+          f"({ts*1e6:.0f} us) — {ts/tg:.2f}x")
+
+
 def bench_flash_rope(args):
     """Fused-RoPE seq-major kernel (SURVEY §7.4) vs its unfused equivalent:
     the unfused number must add the XLA rope + transposes to be comparable —
@@ -198,7 +251,10 @@ def bench_flash(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["qmm", "sweep", "flash", "flashrope"])
+    ap.add_argument("cmd", choices=["qmm", "qmmg", "sweep", "flash",
+                                    "flashrope"])
+    ap.add_argument("--m2", type=int, default=512,
+                    help="qmmg: second group's M (txt stream; --m is img)")
     ap.add_argument("--m", type=int, default=4608)
     ap.add_argument("--k", type=int, default=3072)
     ap.add_argument("--n", type=int, default=3072)
@@ -224,6 +280,8 @@ def main():
         bench_flash(args)
     elif args.cmd == "flashrope":
         bench_flash_rope(args)
+    elif args.cmd == "qmmg":
+        bench_qmm_grouped(args)
     else:
         bench_qmm(args)
     return 0
