@@ -46,9 +46,14 @@ from .scheduler import SchedulerConfig
 log = logging.getLogger("diffusion_rs_tpu")
 
 
-# Measured per-stream fusion default (BENCH.md r5 A/B): streams whose fused
-# projections beat the separate calls on v5e. Empty until the on-chip
-# adopt/reject lands; DIFFUSION_RS_TPU_FUSE / Pipeline(fuse=...) override.
+# Measured per-stream fusion default (BENCH.md r5 A/B, dev 1024² q8t b1):
+# EMPTY by measurement — every fusion/grouping variant lost e2e (txt 427.8,
+# txt+single 455.9, grouped 447.6, grouped+single 484.8 vs 422.7 ms
+# unfused) despite winning at the kernel level: XLA pipelines the separate
+# projections in-graph, while fused outputs pay real split copies and the
+# grouped call pays in-scan weight stacking. DIFFUSION_RS_TPU_FUSE /
+# Pipeline(fuse=...) keep the exact, tested variants available for parts
+# where the balance differs.
 _FUSE_MEASURED_DEFAULT: tuple = ()
 _FUSE_ALL = ("img", "txt", "single", "t5")
 
