@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-request serving timeout in seconds")
     p.add_argument("--max-batch", type=int, default=4,
                    help="serving lanes sharing each batched forward")
+    p.add_argument("--fuse", default=None, metavar="STREAMS",
+                   help="projection groups to fuse into one wide call each: "
+                        "comma subset of img,txt,single,t5,grouped, or 'all' "
+                        "(exact transform; default none — every variant "
+                        "measured slower e2e on v5e, BENCH.md r5)")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persistent XLA compilation cache directory "
                         "(DIFFUSION_RS_TPU_COMPILE_CACHE); reuses compiled "
@@ -114,6 +119,7 @@ def main(argv=None) -> int:
             else [1.0] * len(args.lora or [])
         ) or 1.0,
         compile_cache=args.compile_cache,
+        fuse=args.fuse,
     )
 
     def generate(prompt: str, height: int, width: int, out_path: str):
