@@ -56,12 +56,21 @@ def sdpa_xla(
     return out.astype(q.dtype)
 
 
-@functools.lru_cache(None)
 def _flash_mode() -> Optional[str]:
     """None (XLA path), "flash" (Pallas kernel), or "interpret" (Pallas in
     interpreter mode — lets CPU-mesh tests drive the kernel + its GSPMD/ring
     rules without hardware). DIFFUSION_RS_TPU_FLASH=interpret|force overrides
     the backend auto-pick; DIFFUSION_RS_TPU_NO_FLASH disables."""
+    return _flash_mode_for(jax.default_backend())
+
+
+@functools.lru_cache(None)
+def _flash_mode_for(backend: str) -> Optional[str]:
+    """Cache keyed on the ACTIVE backend: one process can trace under the
+    TPU backend and then run a forced-CPU mesh dryrun (conftest /
+    __graft_entry__ pattern) — a backend-blind cache would leak the "flash"
+    pick into the CPU trace, whose custom_partitioning wrapper has no
+    autodiff rule."""
     if os.environ.get("DIFFUSION_RS_TPU_NO_FLASH"):
         return None
     forced = os.environ.get("DIFFUSION_RS_TPU_FLASH", "").lower()
@@ -69,7 +78,11 @@ def _flash_mode() -> Optional[str]:
         return "interpret"
     if forced in ("1", "on", "force"):
         return "flash"
-    return "flash" if jax.default_backend() not in ("cpu",) else None
+    return "flash" if backend not in ("cpu",) else None
+
+
+# Env-knob tests clear the pick cache through the public name.
+_flash_mode.cache_clear = _flash_mode_for.cache_clear  # type: ignore[attr-defined]
 
 
 @functools.lru_cache(None)
