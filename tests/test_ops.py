@@ -524,3 +524,30 @@ def test_sdpa_merged_dispatch(rng, monkeypatch):
     finally:
         attention._merged_default.cache_clear()
     np.testing.assert_array_equal(a, c)
+
+
+def test_flash_mode_keyed_on_active_backend(monkeypatch):
+    """The flash/xla pick must be cached PER BACKEND: one process can trace
+    under the TPU backend and then run a forced-CPU mesh dryrun (the
+    __graft_entry__ / conftest pattern) — a backend-blind cache leaked the
+    'flash' pick into the CPU trace, whose custom_partitioning wrapper has
+    no autodiff rule (NotImplementedError under jax.grad)."""
+    from diffusion_rs_tpu.ops import attention
+
+    monkeypatch.delenv("DIFFUSION_RS_TPU_FLASH", raising=False)
+    monkeypatch.delenv("DIFFUSION_RS_TPU_NO_FLASH", raising=False)
+    attention._flash_mode.cache_clear()
+    try:
+        # Populate the cache for a TPU backend first, then ask for cpu:
+        # the cpu answer must not be poisoned by the earlier entry.
+        assert attention._flash_mode_for("tpu") == "flash"
+        assert attention._flash_mode_for("cpu") is None
+        # The public entry point resolves through the CURRENT backend
+        # (cpu under the test conftest) and so picks the XLA path.
+        import jax
+
+        assert attention._flash_mode() == (
+            None if jax.default_backend() == "cpu" else "flash"
+        )
+    finally:
+        attention._flash_mode.cache_clear()
